@@ -1,0 +1,110 @@
+"""CRC-6 frame validation for the AXCTD 32-bit frame format.
+
+The AXCTD frame is 32 bits: 26 payload bits followed by a 6-bit CRC with
+generator polynomial x^6 + x^5 + x^2 + 1 (bit vector ``1100101``,
+"decimal 101"; reference parse.py:310-322 and README.md:87).  A frame is
+valid iff GF(2) long division of the full 32 bits by the generator
+leaves remainder zero.
+
+Because CRC over GF(2) is linear, validity of every 32-bit window of a
+bitstream can be computed at once as a matrix product: remainder(w) =
+M @ w mod 2 for a fixed 6x32 parity matrix M, evaluated for all sliding
+windows simultaneously.  On TPU this is one small matmul per window
+batch (MXU) instead of the reference's 26-iteration Python loop per
+window — this is the "vectorized CRC validity" kernel used by frame
+sync (see ops.framesync).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+GENERATOR = np.array([1, 1, 0, 0, 1, 0, 1], dtype=np.uint8)
+FRAME_BITS = 32
+DATA_BITS = 26
+CRC_BITS = 6
+
+
+def _remainder_np(bits: np.ndarray) -> np.ndarray:
+    """GF(2) long-division remainder of a 32-bit word (low-level, numpy)."""
+    r = np.array(bits, dtype=np.uint8, copy=True)
+    for k in range(DATA_BITS):
+        if r[k]:
+            r[k : k + 7] ^= GENERATOR
+    return r[DATA_BITS:]
+
+
+def check_crc_np(frame) -> bool:
+    """True iff the 32-bit frame passes CRC-6 (remainder == 0)."""
+    frame = np.asarray(frame, dtype=np.uint8)
+    if frame.shape != (FRAME_BITS,):
+        raise ValueError(f"frame must be 32 bits, got {frame.shape}")
+    return not _remainder_np(frame).any()
+
+
+def encode_crc_np(payload) -> np.ndarray:
+    """Append the 6 CRC bits to a 26-bit payload, producing a valid frame.
+
+    This is the encoder inverse of the reference's checker — used by the
+    synthetic AXCTD signal simulator (models.simulator).
+    """
+    payload = np.asarray(payload, dtype=np.uint8)
+    if payload.shape != (DATA_BITS,):
+        raise ValueError(f"payload must be 26 bits, got {payload.shape}")
+    word = np.concatenate([payload, np.zeros(CRC_BITS, dtype=np.uint8)])
+    crc = _remainder_np(word)
+    return np.concatenate([payload, crc])
+
+
+def parity_matrix() -> np.ndarray:
+    """The 32x6 GF(2) matrix P with remainder(w) = (w @ P) mod 2.
+
+    Row i is the CRC remainder contribution of bit i (linearity of CRC:
+    remainder of a word is the XOR of remainders of its one-hot bits).
+    """
+    p = np.zeros((FRAME_BITS, CRC_BITS), dtype=np.uint8)
+    for i in range(FRAME_BITS):
+        onehot = np.zeros(FRAME_BITS, dtype=np.uint8)
+        onehot[i] = 1
+        p[i] = _remainder_np(onehot)
+    return p
+
+
+_PARITY = parity_matrix()
+
+
+def check_crc_all_windows_np(bitstream: np.ndarray) -> np.ndarray:
+    """CRC validity of every 32-bit sliding window of `bitstream` (numpy).
+
+    Returns a bool array of length ``len(bitstream) - 31``.
+    """
+    bits = np.asarray(bitstream, dtype=np.uint8)
+    n = len(bits) - FRAME_BITS + 1
+    if n <= 0:
+        return np.zeros(0, dtype=bool)
+    windows = np.lib.stride_tricks.sliding_window_view(bits, FRAME_BITS)
+    rem = (windows.astype(np.int32) @ _PARITY.astype(np.int32)) & 1
+    return ~rem.any(axis=1)
+
+
+def check_crc_all_windows(bitstream: jnp.ndarray) -> jnp.ndarray:
+    """CRC validity of every 32-bit sliding window (JAX, TPU-friendly).
+
+    `bitstream` is an int array of 0/1 of static length N; returns a bool
+    array of length N (positions past N-32 are False).  Implemented as 32
+    shifted adds of parity-row masks — pure VPU work, no gathers, fuses
+    into surrounding ops under jit.
+    """
+    bits = bitstream.astype(jnp.int32)
+    n = bits.shape[0]
+    parity = jnp.asarray(_PARITY, dtype=jnp.int32)  # (32, 6)
+    # rem[s, j] = sum_i bits[s + i] * parity[i, j]  (mod 2)
+    rem = jnp.zeros((n, CRC_BITS), dtype=jnp.int32)
+    for i in range(FRAME_BITS):
+        shifted = jnp.roll(bits, -i)[:, None]  # bits[s + i] with wraparound
+        rem = rem + shifted * parity[i][None, :]
+    valid = jnp.all(rem % 2 == 0, axis=1)
+    # windows that would run off the end are invalid
+    idx = jnp.arange(n)
+    return valid & (idx <= n - FRAME_BITS)
