@@ -1,0 +1,126 @@
+"""Golden byte-parity tests: our CLI output vs the reference CLI output.
+
+These are the project's primary correctness gates (BASELINE.json configs):
+for each configuration, the reference implementation (run in-process via
+ref_harness) and our parity engine must produce byte-identical
+``output.txt`` files.
+"""
+
+import numpy as np
+import pytest
+
+from axctdprocessor_tpu import cli
+from axctdprocessor_tpu.models import simulator
+from axctdprocessor_tpu.models.parity_engine import decode_wav
+from ref_harness import run_reference_cli, run_reference_processor
+
+
+def _cli_flags_from(settings: dict) -> list[str]:
+    flags = []
+    if "minR400" in settings:
+        flags += ["-p", str(settings["minR400"])]
+    if "mindR7500" in settings:
+        flags += ["-t", str(settings["mindR7500"])]
+    if "deadfreq" in settings:
+        flags += ["-d", str(settings["deadfreq"])]
+    if "pointsperloop" in settings:
+        flags += ["-l", str(settings["pointsperloop"])]
+    if "mark_space_freqs" in settings:
+        flags += ["-m", str(settings["mark_space_freqs"][0]),
+                  "-n", str(settings["mark_space_freqs"][1])]
+    if settings.get("use_bandpass"):
+        flags += ["-u"]
+    return flags
+
+
+def _assert_byte_parity(wav, tmp_path, settings=None, label="cfg"):
+    ref_out = tmp_path / f"ref_{label}.txt"
+    my_out = tmp_path / f"my_{label}.txt"
+    run_reference_cli(wav, str(ref_out), settings=dict(settings or {}))
+    argv = ["-i", wav, "-o", str(my_out), "--quiet"] + _cli_flags_from(settings or {})
+    assert cli.main(argv) == 0
+    a, b = ref_out.read_bytes(), my_out.read_bytes()
+    assert a == b, f"{label}: outputs differ ({len(a)} vs {len(b)} bytes)"
+    return a
+
+
+def test_default_byte_parity(default_drop_wav, tmp_path):
+    wav, _ = default_drop_wav
+    out = _assert_byte_parity(wav, tmp_path, label="default")
+    # sanity: the parity covers a real decode, not an empty report
+    assert out.count(b"\n") > 200
+    assert b"Probe Serial: 00123456" in out
+
+
+def test_deadfreq_flag_parity(default_drop_wav, tmp_path):
+    # -d reaches the engine even in strict mode
+    wav, _ = default_drop_wav
+    _assert_byte_parity(wav, tmp_path, {"deadfreq": 2600.0}, label="deadfreq")
+
+
+def test_inert_flags_strict_parity(default_drop_wav, tmp_path):
+    # -p/-t/-l/-u are inert upstream (settings key mismatch); our strict
+    # mode must reproduce that: engine output unchanged, echo changed.
+    wav, _ = default_drop_wav
+    settings = {"minR400": 5.0, "mindR7500": 9.0, "pointsperloop": 123456,
+                "use_bandpass": True}
+    out = _assert_byte_parity(wav, tmp_path, settings, label="inert")
+    assert b"Min. 400 Hz power ratio: 5.0" in out  # echoed
+    assert b"Probe Serial: 00123456" in out        # ...but decode unaffected
+
+
+def test_decimation_path_parity(tmp_path_factory, tmp_path):
+    # fs > 50 kHz triggers the x2 decimator and float fs bookkeeping
+    spec = simulator.SimSpec(fs=88200, duration=45.0, profile_start=33.0, seed=3)
+    pcm, truth = simulator.synthesize(spec)
+    wav = str(tmp_path_factory.mktemp("wav96") / "drop88k.wav")
+    simulator.write_wav(wav, pcm, spec.fs)
+    out = _assert_byte_parity(wav, tmp_path, label="decimate")
+    assert b"Sampling frequency (fs): 44100.0 Hz" in out
+
+
+def test_degraded_signal_processor_parity(tmp_path_factory):
+    # Swapped mark/space makes every bit invert: headers fail, the
+    # upstream report writer would crash (missing *coeff_default keys),
+    # but the processor-level decode must still agree exactly.
+    wav_dir = tmp_path_factory.mktemp("wav_degraded")
+    spec = simulator.SimSpec(duration=40.0, profile_start=33.0, seed=5)
+    pcm, _ = simulator.synthesize(spec)
+    wav = str(wav_dir / "drop.wav")
+    simulator.write_wav(wav, pcm, spec.fs)
+
+    settings = {"mark_space_freqs": [800.0, 400.0]}
+    ap = run_reference_processor(wav, settings=settings)
+    mine = decode_wav(wav, settings=settings, compat="strict")
+
+    assert mine.status == ap.status
+    assert mine.firstpulse400 == ap.firstpulse400
+    assert mine.profstartind == ap.profstartind
+    assert list(mine.hexframes) == list(ap.hexframes)
+    np.testing.assert_array_equal(np.asarray(mine.time), np.asarray(ap.time))
+    np.testing.assert_array_equal(
+        np.asarray(mine.temperature), np.asarray(ap.temperature))
+    np.testing.assert_array_equal(
+        np.asarray(mine.salinity), np.asarray(ap.salinity))
+    for key in ("serial_no", "probe_code", "max_depth",
+                "tcoeff", "ccoeff", "zcoeff",
+                "tcoeff_valid", "ccoeff_valid", "zcoeff_valid"):
+        assert mine.metadata[key] == ap.metadata[key], key
+
+
+def test_fixed_mode_honors_flags(default_drop_wav):
+    # In fixed mode -p works: an impossible 400 Hz threshold finds no pulse.
+    wav, _ = default_drop_wav
+    res = decode_wav(wav, settings={"minR400": 99.0}, compat="fixed")
+    assert res.firstpulse400 == -1 and res.status == 0
+    assert len(res.time) == 0
+
+
+def test_timerange_trim_works(default_drop_wav):
+    # -s/-e crash upstream (dead code); here they work.  Trimming 0.5 s off
+    # the front shifts all timing by 0.5 s but the profile still decodes.
+    wav, truth = default_drop_wav
+    res = decode_wav(wav, timerange=[0, -1])
+    res_trim = decode_wav(wav, timerange=[0, 45])
+    assert res_trim.firstpulse400 == res.firstpulse400
+    assert len(res_trim.time) > 100
