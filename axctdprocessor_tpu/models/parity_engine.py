@@ -69,6 +69,10 @@ class DecodeResult:
     conductivity: list = dataclasses.field(default_factory=list)
     salinity: list = dataclasses.field(default_factory=list)
     hexframes: list = dataclasses.field(default_factory=list)
+    # hex of only the QC-passing frames, aligned with the row lists above.
+    # (`hexframes` bypasses QC — upstream quirk kept for report parity —
+    # so it can misalign with the profile rows; this field doesn't.)
+    hexframes_qc: list = dataclasses.field(default_factory=list)
 
 
 class ParityDecoder:
@@ -337,16 +341,19 @@ class ParityDecoder:
             r400 = np.round(np.asarray(self.bit_r400)[starts], 2)
             r7500 = np.round(np.asarray(self.bit_r7500)[starts], 2)
 
+            hexframes_arr = np.asarray(hexframes, dtype=object)
             good = convert.qc_bounds_mask(r400, r7500, temps, psals, cfg)
             times, depths, temps = times[good], depths[good], temps[good]
             conds, psals = conds[good], psals[good]
             r400, r7500 = r400[good], r7500[good]
+            hexframes_arr = hexframes_arr[good]
 
             if len(temps) > 0:
                 good = convert.qc_spike_mask(temps, psals)
                 times, depths, temps = times[good], depths[good], temps[good]
                 conds, psals = conds[good], psals[good]
                 r400, r7500 = r400[good], r7500[good]
+                hexframes_arr = hexframes_arr[good]
 
                 if len(temps) > 0:
                     res = self.result
@@ -359,6 +366,7 @@ class ParityDecoder:
                     res.salinity.extend(psals)
                     # hexframes deliberately unfiltered (upstream quirk)
                     res.hexframes.extend(hexframes)
+                    res.hexframes_qc.extend(hexframes_arr)
 
         self.bits = self.bits[consumed:]
         self.bit_inds = self.bit_inds[consumed:]

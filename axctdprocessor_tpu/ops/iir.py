@@ -1,0 +1,117 @@
+"""IIR filtering (Butterworth SOS cascade) on TPU.
+
+The reference leans on scipy's C ``sosfilt`` (demodulate.py:74) — a
+strictly sequential per-sample recurrence.  On TPU, a sequential scan at
+44.1 kHz x minutes is latency-poison, so this module provides two
+implementations of the same direct-form-II-transposed cascade:
+
+* :func:`sosfilt_scan` — ``lax.scan`` with the exact per-sample update
+  order scipy uses; bit-faithful in float64, used for cross-validation;
+* :func:`sosfilt` — the TPU path: each biquad's state recurrence
+  ``s[n] = A s[n-1] + B x[n]`` (A is 2x2) is evaluated with
+  ``lax.associative_scan`` over affine-map composition — O(N) work,
+  O(log N) depth, fully parallel on the VPU.  Sections run in sequence
+  (only 3 for the order-6 designs used here).
+
+Coefficients are designed host-side with scipy (the reference's own
+design path, AXCTDprocessor.py:254-257) and passed in as arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def design_sos(fs: float, use_bandpass: bool = False) -> np.ndarray:
+    """Order-6 Butterworth SOS (100-1200 Hz bandpass or 1200 Hz lowpass)."""
+    from scipy import signal
+
+    if use_bandpass:
+        return signal.butter(6, [100, 1200], btype="bandpass", fs=fs, output="sos")
+    return signal.butter(6, 1200, btype="lowpass", fs=fs, output="sos")
+
+
+def _biquad_affine(x, b0, b1, b2, a1, a2):
+    """Per-sample affine maps (A, c) for one DFII-t biquad's state.
+
+    State s = (z1, z2):
+      y[n]  = b0 x[n] + z1[n-1]
+      z1[n] = (b1 - a1 b0) x[n] - a1 z1[n-1] + z2[n-1]
+      z2[n] = (b2 - a2 b0) x[n] - a2 z1[n-1]
+    """
+    n = x.shape[0]
+    dt = x.dtype
+    a = jnp.broadcast_to(
+        jnp.array([[-a1, 1.0], [-a2, 0.0]], dtype=dt), (n, 2, 2)
+    )
+    c = jnp.stack([(b1 - a1 * b0) * x, (b2 - a2 * b0) * x], axis=-1)
+    return a, c
+
+
+def _affine_combine(left, right):
+    """Compose affine maps: right after left (scan is time-ordered)."""
+    a1, c1 = left
+    a2, c2 = right
+    return a2 @ a1, jnp.einsum("...ij,...j->...i", a2, c1) + c2
+
+
+def _biquad_parallel(x, coeffs):
+    b0, b1, b2, a1, a2 = coeffs
+    a, c = _biquad_affine(x, b0, b1, b2, a1, a2)
+    _, states = lax.associative_scan(_affine_combine, (a, c), axis=0)
+    z1_prev = jnp.concatenate([jnp.zeros((1,), x.dtype), states[:-1, 0]])
+    return b0 * x + z1_prev
+
+
+def sosfilt(sos, x: jnp.ndarray) -> jnp.ndarray:
+    """Parallel SOS cascade (zero initial state), TPU-friendly."""
+    sos = np.asarray(sos)
+    y = x
+    for sec in range(sos.shape[0]):
+        b0, b1, b2, _, a1, a2 = (float(v) for v in sos[sec])
+        y = _biquad_parallel(y, (b0, b1, b2, a1, a2))
+    return y
+
+
+def sosfilt_scan(sos, x: jnp.ndarray) -> jnp.ndarray:
+    """Sequential SOS cascade with scipy's exact update order (validation)."""
+    sos = jnp.asarray(sos, dtype=x.dtype)
+    nsec = sos.shape[0]
+
+    def step(state, xn):
+        def section(carry, sec_state):
+            val, k = carry
+            b0, b1, b2 = sos[k, 0], sos[k, 1], sos[k, 2]
+            a1, a2 = sos[k, 4], sos[k, 5]
+            z1, z2 = sec_state[0], sec_state[1]
+            y = b0 * val + z1
+            z1n = b1 * val + z2 - a1 * y
+            z2n = b2 * val - a2 * y
+            return (y, k + 1), jnp.stack([z1n, z2n])
+
+        (yn, _), new_state = lax.scan(section, (xn, 0), state)
+        return new_state, yn
+
+    init = jnp.zeros((nsec, 2), dtype=x.dtype)
+    _, y = lax.scan(step, init, x)
+    return y
+
+
+def boxsmooth_lag(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Causal (lagging) box mean over the trailing ``window + 1`` samples.
+
+    TPU counterpart of the reference's incremental smoother
+    (demodulate.py:39-48) applied in one whole-waveform pass: cumulative
+    sum, shifted difference, divided by the per-position window length
+    (shorter near the start).
+    """
+    csum = jnp.cumsum(x)
+    n = x.shape[0]
+    idx = jnp.arange(n)
+    lo = jnp.maximum(idx - window, 0)
+    total = csum - jnp.where(lo > 0, jnp.take(csum, lo - 1), 0)
+    count = (idx - lo + 1).astype(x.dtype)
+    return total / count

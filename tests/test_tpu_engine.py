@@ -1,0 +1,120 @@
+"""Fused TPU engine vs parity engine / encoder truth.
+
+The TPU engine is not byte-identical to the reference (documented
+deviations: uniform power grid, whole-waveform filtering, true bit
+timing instead of the upstream duplicated-index drift), so these tests
+check decode *correctness*: metadata exactness, frame recovery rate,
+self-consistent physics, and bounded deviation from the parity engine.
+"""
+
+import numpy as np
+import pytest
+
+from axctdprocessor_tpu.models.parity_engine import decode_waveform
+from axctdprocessor_tpu.models.tpu_engine import decode_waveform_tpu
+from axctdprocessor_tpu.models import convert
+from axctdprocessor_tpu.ops.bits import hex_to_bits_np
+from axctdprocessor_tpu.utils.lut import load_temp_lut
+from axctdprocessor_tpu.utils.wavio import read_wav
+
+
+@pytest.fixture(scope="module")
+def engines(default_drop_wav):
+    wav, truth = default_drop_wav
+    pcm, fs = read_wav(wav)
+    par = decode_waveform(pcm, fs)
+    fast = decode_waveform_tpu(pcm, fs)
+    return par, fast, truth
+
+
+def test_metadata_exact(engines):
+    par, fast, truth = engines
+    assert fast.status == 2
+    assert fast.metadata["serial_no"] == truth["serial_no"]
+    assert fast.metadata["probe_code"] == truth["probe_code"]
+    assert fast.metadata["max_depth"] == truth["max_depth"]
+    for key in ("tcoeff", "ccoeff", "zcoeff"):
+        assert fast.metadata[key] == par.metadata[key], key
+
+
+def test_trigger_agreement(engines):
+    par, fast, _ = engines
+    assert fast.firstpulse400 == par.firstpulse400
+    # profile trigger may differ by a couple of power windows (grid holes
+    # at upstream chunk boundaries); 1764 samples per window
+    assert abs(fast.profstartind - par.profstartind) <= 3 * 1764
+
+
+def test_frame_recovery(engines):
+    par, fast, truth = engines
+    truth_set = set(truth["frame_hex"])
+    in_truth = sum(1 for h in fast.hexframes if h in truth_set)
+    assert in_truth / len(fast.hexframes) > 0.97
+    # frame counts comparable with parity engine
+    assert abs(len(fast.hexframes) - len(par.hexframes)) <= 8
+
+
+def test_physics_self_consistency(engines):
+    """Each emitted row must equal a float64 recomputation from its own hex."""
+    _, fast, _ = engines
+    lut = load_temp_lut()
+    tco = fast.metadata["tcoeff"]
+    cco = fast.metadata["ccoeff"]
+    for h, t_rep, z_rep, T_rep, C_rep, S_rep in zip(
+        fast.hexframes_qc[:100], fast.time, fast.depth, fast.temperature,
+        fast.conductivity, fast.salinity,
+    ):
+        bits = hex_to_bits_np(h)
+        tint, cint = convert.frame_ints(bits[None, :])
+        T64 = convert.polyval_ascending(np.array([lut[tint[0]]]), tco)[0]
+        C64 = convert.polyval_ascending(np.array([cint[0] * 60 / 4096]), cco)[0]
+        assert abs(T_rep - round(T64, 2)) <= 0.011, h
+        assert abs(C_rep - round(C64, 2)) <= 0.011, h
+
+
+def _aligned_pairs(a_hex, b_hex):
+    """Longest-common-subsequence alignment of the two frame streams."""
+    import difflib
+
+    sm = difflib.SequenceMatcher(a=a_hex, b=b_hex, autojunk=False)
+    pairs = []
+    for block in sm.get_matching_blocks():
+        pairs.extend((block.a + k, block.b + k) for k in range(block.size))
+    return pairs
+
+
+def test_values_track_parity_engine(engines):
+    par, fast, _ = engines
+    pairs = _aligned_pairs(fast.hexframes_qc, par.hexframes_qc)
+    assert len(pairs) > 0.9 * min(len(fast.hexframes_qc), len(par.hexframes_qc))
+    checked = 0
+    for i, j in pairs:
+        checked += 1
+        assert abs(fast.temperature[i] - par.temperature[j]) <= 0.011
+        assert abs(fast.conductivity[i] - par.conductivity[j]) <= 0.011
+        # upstream time drift (duplicated buffer indices) + trigger offset
+        assert abs(fast.time[i] - par.time[j]) <= 0.25
+        assert abs(fast.depth[i] - par.depth[j]) <= 0.8
+        assert abs(fast.salinity[i] - par.salinity[j]) <= 0.05
+    assert checked > 300
+
+
+def test_times_monotonic_and_framed(engines):
+    _, fast, _ = engines
+    t = np.asarray(fast.time)
+    assert np.all(np.diff(t) > 0)
+    # consecutive frames are multiples of the 0.04 s frame period
+    gaps = np.diff(t)
+    frac = np.abs(gaps / 0.04 - np.round(gaps / 0.04))
+    assert np.percentile(frac, 95) < 0.3
+
+
+def test_cli_tpu_engine(default_drop_wav, tmp_path):
+    from axctdprocessor_tpu import cli
+
+    wav, truth = default_drop_wav
+    out = tmp_path / "tpu_out.txt"
+    assert cli.main(["-i", wav, "-o", str(out), "--engine", "tpu", "--quiet"]) == 0
+    text = out.read_text()
+    assert "Probe Serial: 00123456" in text
+    assert text.count("\n") > 300

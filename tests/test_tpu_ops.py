@@ -1,0 +1,121 @@
+"""Unit tests for the TPU core ops (run on CPU in x64 for exactness)."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy import signal as sg
+
+from axctdprocessor_tpu.ops import chain, goertzel, iir
+
+
+def test_sosfilt_scan_matches_scipy(rng):
+    x = rng.standard_normal(5000)
+    sos = iir.design_sos(44100.0, use_bandpass=False)
+    ref = sg.sosfilt(sos, x)
+    mine = np.asarray(iir.sosfilt_scan(sos, jnp.asarray(x)))
+    # XLA fuses FMAs, so bitwise equality with scipy is unattainable even
+    # for the identical-op-order scan; this is why the byte-parity engine
+    # filters on host.  Demand tight f64 agreement instead.
+    np.testing.assert_allclose(mine, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_sosfilt_parallel_matches_scipy(rng):
+    x = rng.standard_normal(20000)
+    for bp in (False, True):
+        sos = iir.design_sos(44100.0, use_bandpass=bp)
+        ref = sg.sosfilt(sos, x)
+        mine = np.asarray(iir.sosfilt(sos, jnp.asarray(x)))
+        # parallel evaluation reorders float ops; demand near-f64 agreement
+        np.testing.assert_allclose(mine, ref, rtol=1e-8, atol=1e-12)
+
+
+def test_boxsmooth_matches_host(rng):
+    x = np.abs(rng.standard_normal(500))
+    mine = np.asarray(iir.boxsmooth_lag(jnp.asarray(x), 5))
+    expected = np.array(
+        [np.mean(x[max(0, i - 5) : i + 1]) for i in range(len(x))]
+    )
+    np.testing.assert_allclose(mine, expected, rtol=1e-12)
+
+
+def test_framed_tone_power_matches_reference_loop(rng):
+    fs = 44100.0
+    x = rng.standard_normal(int(fs * 1.5))
+    window, stride = int(fs / 10), int(round(fs / 25))
+    freqs = [400.0, 7500.0, 3000.0]
+    trig = goertzel.tone_matrix(window, freqs, fs)
+    mine = np.asarray(goertzel.framed_tone_power(jnp.asarray(x), window, stride, trig))
+    # reference-style loop
+    for w_i, start in enumerate(range(0, len(x) - window, stride)):
+        cdata = x[start : start + window]
+        for f_i, f in enumerate(freqs):
+            theta = 2 * np.pi * np.arange(window) / fs * f
+            expected = np.abs(np.sum(cdata * np.cos(theta) + 1j * cdata * np.sin(theta)))
+            assert abs(mine[w_i, f_i] - expected) < 1e-6 * max(expected, 1.0)
+
+
+def test_tone_power_at(rng):
+    fs = 44100.0
+    x = rng.standard_normal(4000)
+    trig = goertzel.tone_matrix(39, [400.0, 800.0], fs)
+    starts = np.array([0, 100, 512, 3000])
+    mine = np.asarray(goertzel.tone_power_at(jnp.asarray(x), jnp.asarray(starts), 39, trig))
+    for i, s in enumerate(starts):
+        w = x[s : s + 39]
+        for j, f in enumerate([400.0, 800.0]):
+            theta = 2 * np.pi * np.arange(39) / fs * f
+            expected = np.abs(np.sum(w * np.cos(theta) + 1j * w * np.sin(theta)))
+            np.testing.assert_allclose(mine[i, j], expected, rtol=1e-9)
+
+
+def _host_edge_chain(zc, fs, bitrate):
+    """The reference's greedy chain (demodulate.py:85-93), for comparison."""
+    edges = [zc[0]]
+    c = 0
+    while c < len(zc) - 5:
+        options = zc[c + 1 : c + 5]
+        c += 1 + int(np.argmin(np.abs(options - (zc[c] + fs / bitrate))))
+        edges.append(zc[c])
+    return edges
+
+
+def test_bit_edge_chain_matches_host(rng):
+    fs, bitrate = 44100.0, 800.0
+    for trial in range(8):
+        # synthetic crossing pattern: mostly ~55 apart with mid-bit extras
+        n = 400
+        gaps = rng.choice([27, 28, 55, 56, 41], size=n, p=[0.2, 0.2, 0.3, 0.2, 0.1])
+        zc = np.cumsum(gaps) + 100
+        expected = _host_edge_chain(zc, fs, bitrate)
+
+        m = len(zc) + 64
+        padded = np.full(m, np.iinfo(np.int32).max // 2, dtype=np.int64)
+        padded[: len(zc)] = zc
+        edges_idx, n_edges = chain.enumerate_bit_edges(
+            jnp.asarray(padded), len(zc), fs, bitrate, max_edges=m
+        )
+        n_edges = int(n_edges)
+        got = np.asarray(padded)[np.asarray(edges_idx[:n_edges])]
+        assert n_edges == len(expected), trial
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_frame_sync_chain_matches_host(rng):
+    for trial in range(8):
+        n = 2000
+        accept = rng.random(n) < 0.06
+        # host reference walk
+        s, starts_ref = 0, []
+        while s < n - 32:
+            if accept[s]:
+                starts_ref.append(s)
+                s += 32
+            else:
+                s += 1
+        starts, n_frames, consumed = chain.enumerate_frames(
+            jnp.asarray(accept), n, max_steps=n, max_frames=256
+        )
+        assert int(consumed) == s, trial
+        assert int(n_frames) == len(starts_ref)
+        np.testing.assert_array_equal(
+            np.asarray(starts[: len(starts_ref)]), starts_ref
+        )
