@@ -78,12 +78,13 @@ class DecodeResult:
 class ParityDecoder:
     """Streaming AXCTD decoder with upstream-exact chunk semantics."""
 
-    def __init__(self, pcm: np.ndarray, fs, config: DecoderConfig | None = None,
-                 progress=None):
+    def __init__(self, pcm: np.ndarray | None, fs,
+                 config: DecoderConfig | None = None, progress=None):
         self.cfg = config or DecoderConfig()
-        self.pcm = np.asarray(pcm)
+        # pcm=None starts an empty decoder for push-based streaming (feed())
+        self.pcm = np.zeros(0, dtype=np.float64) if pcm is None else np.asarray(pcm)
         self.fs = fs
-        self.numpoints = len(pcm)
+        self.numpoints = len(self.pcm)
         self.progress = progress
         cfg = self.cfg
 
@@ -113,6 +114,7 @@ class ParityDecoder:
 
         # decoder state
         self.result = DecodeResult(fs=fs, numpoints=self.numpoints)
+        self._start = 0
         self.status = 0
         self.p400 = np.array([])
         self.p7500 = np.array([])
@@ -142,19 +144,43 @@ class ParityDecoder:
         self.bit_r7500: list = []
 
     # ------------------------------------------------------------------
-    # main loop
+    # main loop — shared by whole-file run() and push-based streaming
     # ------------------------------------------------------------------
     def run(self) -> DecodeResult:
-        start = 0
-        self.status = 0
+        self._drain(final=True)
+        return self._snapshot()
+
+    def feed(self, samples) -> DecodeResult:
+        """Push PCM samples (realtime/streaming mode) and process every
+        complete loop chunk now available.  Returns the running result."""
+        samples = np.asarray(samples, dtype=self.pcm.dtype)
+        self.pcm = np.concatenate([self.pcm, samples])
+        self.numpoints = len(self.pcm)
+        self._drain(final=False)
+        return self._snapshot()
+
+    def finalize(self) -> DecodeResult:
+        """Signal end-of-stream: process the remaining (clamped) chunks
+        with the exact end-of-file semantics of the batch path."""
+        self._drain(final=True)
+        return self._snapshot()
+
+    def _drain(self, final: bool) -> None:
         while True:
+            start = self._start
             end = start + self.points_per_loop
-            if self.numpoints - start < 4 * self.n_power:
-                if self.progress:
-                    self.progress(100)
+            if final:
+                if self.numpoints - start < 4 * self.n_power:
+                    if self.progress:
+                        self.progress(100)
+                    break
+                if end >= self.numpoints:
+                    end = self.numpoints - 1
+            elif end >= self.numpoints:
+                # a full chunk is processed mid-stream only once data
+                # extends *past* it (the batch loop clamps the final
+                # chunk to numpoints-1; that decision waits for EOF)
                 break
-            if end >= self.numpoints:
-                end = self.numpoints - 1
             if self.progress:
                 self.progress(round(100 * start / self.numpoints))
 
@@ -162,15 +188,18 @@ class ParityDecoder:
 
             if self.status > 0:
                 if self.next_demod_start > self.edge_pad:
-                    start += self.next_demod_start - self.edge_pad
+                    self._start += self.next_demod_start - self.edge_pad
                 else:
                     # upstream adds a float here and crashes on the next
                     # slice (SURVEY.md 2.3 #6); we advance one whole bit
-                    start += int(self.fs / self.cfg.bitrate)
+                    self._start += int(self.fs / self.cfg.bitrate)
             else:
-                start = end
+                self._start = end
 
+    def _snapshot(self) -> DecodeResult:
         res = self.result
+        res.fs = self.fs
+        res.numpoints = self.numpoints
         res.status = self.status
         res.firstpulse400 = self.firstpulse400
         res.profstartind = self.profstartind

@@ -91,10 +91,8 @@ class EngineDims:
 # stage 1: powers + filter + bit edges + bit tone powers (device)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("dims", "fs", "bitrate", "bit_inset",
-                                             "edge_pad"))
-def _stage1(pcm, power_trig, sos_arr, bit_trig, dims: EngineDims, fs: float,
-            bitrate: float, bit_inset: int, edge_pad: int):
+def stage1_core(pcm, power_trig, sos_arr, bit_trig, dims: EngineDims, fs: float,
+                bitrate: float, bit_inset: int, edge_pad: int):
     x = pcm
     # A. tone powers on the uniform whole-file grid, smoothed, as ratios
     powers = goertzel.framed_tone_power(x, dims.n_power, dims.d_pcm, power_trig)
@@ -125,6 +123,11 @@ def _stage1(pcm, power_trig, sos_arr, bit_trig, dims: EngineDims, fs: float,
                 n_edges=n_edges, s1=probes[:, 0], s2=probes[:, 1])
 
 
+_stage1 = functools.partial(
+    jax.jit, static_argnames=("dims", "fs", "bitrate", "bit_inset", "edge_pad")
+)(stage1_core)
+
+
 def _apply_sos(sos_arr, x):
     y = x
     for sec in range(sos_arr.shape[0]):
@@ -151,10 +154,9 @@ def _masked_percentile(x, mask, q, max_n):
     return v_lo + frac * (v_hi - v_lo)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "fs"))
-def _stage2(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
-            profstart, tcoeff, ccoeff, zcoeff, temp_lut, limits,
-            dims: EngineDims, fs: float):
+def stage2_core(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
+                profstart, tcoeff, ccoeff, zcoeff, temp_lut, limits,
+                dims: EngineDims, fs: float):
     me = dims.max_edges
     idx = jnp.arange(me)
 
@@ -226,29 +228,31 @@ def _stage2(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
                 frame_valid=frame_valid, n_frames=n_frames, consumed=consumed)
 
 
+_stage2 = functools.partial(jax.jit, static_argnames=("dims", "fs"))(stage2_core)
+
+
 # ---------------------------------------------------------------------------
 # host orchestration
 # ---------------------------------------------------------------------------
 
-def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
-                        dtype=jnp.float32) -> DecodeResult:
-    """Decode a conditioned waveform with the fused TPU engine."""
-    cfg = config or DecoderConfig()
-    fs = float(fs)
-    n = int(len(pcm))
-    npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
-    dims = EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
-
+def engine_tables(cfg: DecoderConfig, fs: float, dims: EngineDims, dtype=np.float32):
+    """Host-designed constant tables for the device stages."""
     power_trig = goertzel.tone_matrix(
-        dims.n_power, [400.0, 7500.0, cfg.dead_freq], fs, dtype=np.float32)
+        dims.n_power, [400.0, 7500.0, cfg.dead_freq], fs, dtype=dtype)
     bit_trig = goertzel.tone_matrix(
-        dims.npcm, [cfg.mark_freq, cfg.space_freq], fs, dtype=np.float32)
-    sos = iir.design_sos(fs, cfg.use_bandpass).astype(np.float32)
+        dims.npcm, [cfg.mark_freq, cfg.space_freq], fs, dtype=dtype)
+    sos = iir.design_sos(fs, cfg.use_bandpass).astype(dtype)
+    return power_trig, sos, bit_trig
 
-    x = jnp.asarray(pcm, dtype=dtype)
-    s1_out = _stage1(x, jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
-                     jnp.asarray(bit_trig, dtype), dims, fs, float(cfg.bitrate),
-                     cfg.bit_inset, 100)
+
+def host_interlude(s1_out: dict, cfg: DecoderConfig, fs: float, dims: EngineDims,
+                   n: int):
+    """Scalar trigger logic + calibration + header decode for one drop.
+
+    Takes stage-1 outputs (as host arrays or device arrays), returns
+    (result, bits, mean7500, profstart, live_coeffs).  ``result.status``
+    < 2 means there is no profile to parse.
+    """
     r400 = np.asarray(s1_out["r400"], dtype=np.float64)
     r7500 = np.asarray(s1_out["r7500"], dtype=np.float64)
     edge_samples = np.asarray(s1_out["edge_samples"])
@@ -259,7 +263,9 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     result = DecodeResult(fs=fs if fs != int(fs) else int(fs), numpoints=n)
 
     # ---- host scalar logic: pulse / baseline / trigger ------------------
-    win_samples = np.arange(dims.n_win) * dims.d_pcm
+    # window count follows the array (the time-sharded front end computes
+    # a slightly denser grid than the single-device path)
+    win_samples = np.arange(len(r400)) * dims.d_pcm
     pulse_hits = np.flatnonzero(r400 >= cfg.min_r400)
     if pulse_hits.size == 0:
         result.status = 0
@@ -284,7 +290,8 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     n_bits = max(n_edges - 1, 0)
     valid = slice(0, n_bits)
     scale0 = 1.5
-    conf0 = s2[valid] * scale0 / s1[valid]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        conf0 = s2[valid] * scale0 / s1[valid]
     h1_lo = firstpulse + int(fs * (2.3 - 0.5))
     h1_hi = firstpulse + int(fs * (3.3 + 0.5))
     in_h1 = (edge_samples[valid] >= h1_lo) & (edge_samples[valid] <= h1_hi)
@@ -315,30 +322,24 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
             "zcoeff": list(cfg.zcoeff_default)}
     md.merge_headers(result.metadata, headers[0], headers[1], live)
 
-    if profstart < 0:
-        return result
+    if profstart >= 0:
+        result.status = 2
+        result.profstartind = profstart
+        result.firstpointtime = profstart / fs
 
-    result.status = 2
-    result.profstartind = profstart
-    result.firstpointtime = profstart / fs
+    bits_padded = np.zeros(dims.max_edges, dtype=np.int32)
+    bits_padded[:n_bits] = bits
+    return result, bits_padded, n_bits, mean7500, profstart, live
 
-    # ---- stage 2: profile decode on device ------------------------------
-    limits = np.asarray([cfg.min_dr7500_inprof, cfg.min_r400_inprof,
-                         cfg.tlims[0], cfg.tlims[1], cfg.slims[0], cfg.slims[1]],
-                        dtype=np.float32)
-    bits_dev = np.zeros(dims.max_edges, dtype=np.int32)
-    bits_dev[:n_bits] = bits
-    out = _stage2(
-        jnp.asarray(bits_dev), jnp.asarray(n_bits, jnp.int32),
-        jnp.asarray(edge_samples, jnp.int32),
-        s1_out["r400"], s1_out["r7500"],
-        jnp.asarray(mean7500, dtype), jnp.asarray(profstart, jnp.int32),
-        jnp.asarray(live["tcoeff"], dtype), jnp.asarray(live["ccoeff"], dtype),
-        jnp.asarray(live["zcoeff"], dtype),
-        jnp.asarray(load_temp_lut(), dtype), jnp.asarray(limits, dtype),
-        dims, fs,
-    )
 
+def qc_limits(cfg: DecoderConfig, dtype=np.float32) -> np.ndarray:
+    return np.asarray([cfg.min_dr7500_inprof, cfg.min_r400_inprof,
+                       cfg.tlims[0], cfg.tlims[1], cfg.slims[0], cfg.slims[1]],
+                      dtype=dtype)
+
+
+def attach_profile(result: DecodeResult, out: dict) -> DecodeResult:
+    """Fold stage-2 device outputs into a DecodeResult (host trim/format)."""
     good = np.asarray(out["good"])
     frame_valid = np.asarray(out["frame_valid"])
     result.time = list(np.asarray(out["times"])[good])
@@ -352,6 +353,41 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     result.hexframes = nibbles_to_hex_np(np.asarray(out["nibbles"])[frame_valid])
     result.hexframes_qc = nibbles_to_hex_np(np.asarray(out["nibbles"])[good])
     return result
+
+
+def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
+                        dtype=jnp.float32) -> DecodeResult:
+    """Decode a conditioned waveform with the fused TPU engine."""
+    cfg = config or DecoderConfig()
+    fs = float(fs)
+    n = int(len(pcm))
+    npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
+    dims = EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
+    power_trig, sos, bit_trig = engine_tables(cfg, fs, dims)
+
+    x = jnp.asarray(pcm, dtype=dtype)
+    s1_out = _stage1(x, jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
+                     jnp.asarray(bit_trig, dtype), dims, fs, float(cfg.bitrate),
+                     cfg.bit_inset, 100)
+
+    interlude = host_interlude(s1_out, cfg, fs, dims, n)
+    if isinstance(interlude, DecodeResult):
+        return interlude
+    result, bits_padded, n_bits, mean7500, profstart, live = interlude
+    if result.status < 2:
+        return result
+
+    out = _stage2(
+        jnp.asarray(bits_padded), jnp.asarray(n_bits, jnp.int32),
+        jnp.asarray(np.asarray(s1_out["edge_samples"]), jnp.int32),
+        s1_out["r400"], s1_out["r7500"],
+        jnp.asarray(mean7500, dtype), jnp.asarray(profstart, jnp.int32),
+        jnp.asarray(live["tcoeff"], dtype), jnp.asarray(live["ccoeff"], dtype),
+        jnp.asarray(live["zcoeff"], dtype),
+        jnp.asarray(load_temp_lut(), dtype), jnp.asarray(qc_limits(cfg), dtype),
+        dims, fs,
+    )
+    return attach_profile(result, out)
 
 
 def decode_wav_tpu(path: str, timerange=(0, -1), settings: dict | None = None,

@@ -34,35 +34,46 @@ def design_sos(fs: float, use_bandpass: bool = False) -> np.ndarray:
     return signal.butter(6, 1200, btype="lowpass", fs=fs, output="sos")
 
 
-def _biquad_affine(x, b0, b1, b2, a1, a2):
-    """Per-sample affine maps (A, c) for one DFII-t biquad's state.
+def _affine_combine(left, right):
+    """Compose 2x2 affine maps held as six flat arrays (right after left).
+
+    Flat-array layout matters on TPU: materializing (N, 2, 2) matrices
+    pads the trailing dims to (2, 128) vector tiles — a 64x memory blowup
+    that OOMs HBM on long waveforms.  Six (N,) arrays stay unpadded.
+    """
+    l11, l12, l21, l22, lc1, lc2 = left
+    r11, r12, r21, r22, rc1, rc2 = right
+    return (
+        r11 * l11 + r12 * l21,
+        r11 * l12 + r12 * l22,
+        r21 * l11 + r22 * l21,
+        r21 * l12 + r22 * l22,
+        r11 * lc1 + r12 * lc2 + rc1,
+        r21 * lc1 + r22 * lc2 + rc2,
+    )
+
+
+def _biquad_parallel(x, coeffs):
+    """One DFII-t biquad via associative scan over its state recurrence.
 
     State s = (z1, z2):
       y[n]  = b0 x[n] + z1[n-1]
       z1[n] = (b1 - a1 b0) x[n] - a1 z1[n-1] + z2[n-1]
       z2[n] = (b2 - a2 b0) x[n] - a2 z1[n-1]
+    i.e. s[n] = A s[n-1] + B x[n] with constant A = [[-a1, 1], [-a2, 0]].
     """
+    b0, b1, b2, a1, a2 = coeffs
     n = x.shape[0]
     dt = x.dtype
-    a = jnp.broadcast_to(
-        jnp.array([[-a1, 1.0], [-a2, 0.0]], dtype=dt), (n, 2, 2)
+    ones = jnp.ones((n,), dt)
+    zeros = jnp.zeros((n,), dt)
+    elems = (
+        -a1 * ones, ones, -a2 * ones, zeros,
+        (b1 - a1 * b0) * x, (b2 - a2 * b0) * x,
     )
-    c = jnp.stack([(b1 - a1 * b0) * x, (b2 - a2 * b0) * x], axis=-1)
-    return a, c
-
-
-def _affine_combine(left, right):
-    """Compose affine maps: right after left (scan is time-ordered)."""
-    a1, c1 = left
-    a2, c2 = right
-    return a2 @ a1, jnp.einsum("...ij,...j->...i", a2, c1) + c2
-
-
-def _biquad_parallel(x, coeffs):
-    b0, b1, b2, a1, a2 = coeffs
-    a, c = _biquad_affine(x, b0, b1, b2, a1, a2)
-    _, states = lax.associative_scan(_affine_combine, (a, c), axis=0)
-    z1_prev = jnp.concatenate([jnp.zeros((1,), x.dtype), states[:-1, 0]])
+    out = lax.associative_scan(_affine_combine, elems, axis=0)
+    z1 = out[4]
+    z1_prev = jnp.concatenate([jnp.zeros((1,), dt), z1[:-1]])
     return b0 * x + z1_prev
 
 

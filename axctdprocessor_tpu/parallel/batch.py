@@ -1,0 +1,166 @@
+"""Batched multi-drop decode — vmap over drops, data-parallel over a mesh.
+
+This is the archive-reprocessing path (BASELINE.json: "64 WAV drops
+vmapped through the fused demod+parse pipeline").  Both device stages of
+the TPU engine are vmapped over the batch dimension and, when a mesh is
+given, sharded over its ``dp`` axis so XLA runs each drop's decode on its
+own device slice with zero cross-device traffic (drops are independent).
+The microsecond-scale per-drop host interlude (trigger scalars + header
+decode) runs between the two device calls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models import tpu_engine as eng
+from ..models.parity_engine import DecodeResult
+from ..utils.config import DecoderConfig
+from ..utils.lut import load_temp_lut
+
+
+def pad_to_multiple(batch_arrays: list[np.ndarray], m: int):
+    """Pad every array's leading dim up to a multiple of m (repeating row 0).
+
+    Returns (padded arrays, original batch size).  Used to satisfy mesh
+    divisibility; padded rows' outputs are discarded by the caller.
+    """
+    b = batch_arrays[0].shape[0]
+    b_pad = int(np.ceil(b / m)) * m
+    if b_pad == b:
+        return batch_arrays, b
+    out = []
+    for a in batch_arrays:
+        reps = np.repeat(a[:1], b_pad - b, axis=0)
+        out.append(np.concatenate([a, reps], axis=0))
+    return out, b
+
+
+def pad_batch(pcms: list[np.ndarray]) -> np.ndarray:
+    """Stack ragged waveforms into a zero-padded (B, N_max) batch.
+
+    Trailing zeros are silent (constant signal -> no zero crossings after
+    the last real sample beyond one transition; frames there can't pass
+    CRC + signal gates), so padding is decode-neutral.
+    """
+    n_max = max(len(p) for p in pcms)
+    out = np.zeros((len(pcms), n_max), dtype=np.float32)
+    for i, p in enumerate(pcms):
+        out[i, : len(p)] = p
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_stage1(dims, fs, bitrate, bit_inset, edge_pad, mesh=None):
+    def one(pcm, ptrig, sos, btrig):
+        return eng.stage1_core(pcm, ptrig, sos, btrig, dims, fs, bitrate,
+                               bit_inset, edge_pad)
+
+    fn = jax.vmap(one, in_axes=(0, None, None, None))
+    if mesh is None:
+        return jax.jit(fn)
+    sh = NamedSharding(mesh, P("dp", None))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(fn, in_shardings=(sh, rep, rep, rep))
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_stage2(dims, fs, mesh=None):
+    def one(bits, n_bits, edges, r400, r7500, mean7500, profstart,
+            tco, cco, zco, lut, limits):
+        return eng.stage2_core(bits, n_bits, edges, r400, r7500, mean7500,
+                               profstart, tco, cco, zco, lut, limits, dims, fs)
+
+    axes = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)
+    fn = jax.vmap(one, in_axes=axes)
+    if mesh is None:
+        return jax.jit(fn)
+    sh1 = NamedSharding(mesh, P("dp"))
+    sh2 = NamedSharding(mesh, P("dp", None))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(fn, in_shardings=(sh2, sh1, sh2, sh2, sh2, sh1, sh1,
+                                     sh2, sh2, sh2, rep, rep))
+
+
+def run_interludes_and_profiles(s1_host: dict, n: int, cfg: DecoderConfig,
+                                fs: float, dims, mesh, dtype) -> list[DecodeResult]:
+    """Shared back half of batched decode: per-drop host interlude, then a
+    batched stage-2 profile pass for the drops that triggered."""
+    b = s1_host["r400"].shape[0]
+    results: list[DecodeResult] = []
+    prof_idx: list[int] = []
+    bits_b, nbits_b, mean_b, prof_b = [], [], [], []
+    tco_b, cco_b, zco_b = [], [], []
+    for i in range(b):
+        drop_out = {k: v[i] for k, v in s1_host.items()}
+        interlude = eng.host_interlude(drop_out, cfg, fs, dims, n)
+        if isinstance(interlude, DecodeResult):
+            results.append(interlude)
+            continue
+        result, bits_padded, n_bits, mean7500, profstart, live = interlude
+        results.append(result)
+        if result.status >= 2:
+            prof_idx.append(i)
+            bits_b.append(bits_padded)
+            nbits_b.append(n_bits)
+            mean_b.append(mean7500)
+            prof_b.append(profstart)
+            tco_b.append(live["tcoeff"])
+            cco_b.append(live["ccoeff"])
+            zco_b.append(live["zcoeff"])
+
+    if not prof_idx:
+        return results
+
+    sel = np.asarray(prof_idx)
+    inputs = [
+        np.stack(bits_b),
+        np.asarray(nbits_b, np.int32),
+        s1_host["edge_samples"][sel].astype(np.int32),
+        np.asarray(s1_host["r400"][sel]),
+        np.asarray(s1_host["r7500"][sel]),
+        np.asarray(mean_b),
+        np.asarray(prof_b, np.int32),
+        np.asarray(tco_b),
+        np.asarray(cco_b),
+        np.asarray(zco_b),
+    ]
+    if mesh is not None:
+        inputs, _ = pad_to_multiple(inputs, mesh.shape["dp"])
+    fdtypes = [None, None, None, None, None, dtype, None, dtype, dtype, dtype]
+    stage2 = _batched_stage2(dims, fs, mesh)
+    out = stage2(*[jnp.asarray(a, dt) for a, dt in zip(inputs, fdtypes)],
+                 jnp.asarray(load_temp_lut(), dtype),
+                 jnp.asarray(eng.qc_limits(cfg), dtype))
+    out_host = jax.tree.map(np.asarray, out)
+    for j, i in enumerate(prof_idx):
+        eng.attach_profile(results[i], {k: v[j] for k, v in out_host.items()})
+    return results
+
+
+def decode_batch(pcms, fs, config: DecoderConfig | None = None,
+                 mesh: Mesh | None = None, dtype=jnp.float32) -> list[DecodeResult]:
+    """Decode a (B, N) batch of conditioned waveforms; returns B results."""
+    cfg = config or DecoderConfig()
+    fs = float(fs)
+    pcms = np.asarray(pcms)
+    b_orig = pcms.shape[0]
+    if mesh is not None:
+        (pcms,), _ = pad_to_multiple([pcms], mesh.shape["dp"])
+    b, n = pcms.shape
+    npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
+    dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
+    ptrig, sos, btrig = eng.engine_tables(cfg, fs, dims)
+
+    stage1 = _batched_stage1(dims, fs, float(cfg.bitrate), cfg.bit_inset, 100, mesh)
+    s1 = stage1(jnp.asarray(pcms, dtype), jnp.asarray(ptrig, dtype),
+                jnp.asarray(sos, dtype), jnp.asarray(btrig, dtype))
+    s1_host = jax.tree.map(np.asarray, s1)
+
+    results = run_interludes_and_profiles(s1_host, n, cfg, fs, dims, mesh, dtype)
+    return results[:b_orig]

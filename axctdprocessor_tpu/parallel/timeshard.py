@@ -1,0 +1,205 @@
+"""Sequence-parallel decode: one waveform's time axis sharded over devices.
+
+For very long recordings (or many long drops at once), the compute-heavy
+front end — tone-power windows, IIR filtering, zero-crossing extraction,
+per-crossing tone probes — is sharded over the time axis with **halo
+exchange** over ICI (``lax.ppermute`` inside ``shard_map``), the DSP
+analog of ring-attention block overlap (SURVEY.md 2.5):
+
+* each block receives ``n_power`` raw samples from its right neighbor so
+  its strided power windows can straddle the boundary;
+* each block receives a warm-up tail of raw samples from its left
+  neighbor so the IIR filter state is settled by the block start (the
+  reference resets filter state per 2 s chunk, so a 2048-sample warm-up
+  is strictly more faithful than its own semantics);
+* each block receives a short filtered halo from the right for crossing
+  detection and per-crossing mark/space probes at the boundary.
+
+The trick that removes cross-shard sequencing: tone probes are computed
+for **every zero crossing**, not just chained bit edges (~2x compute,
+embarrassingly parallel).  The tiny chained part — the greedy bit-edge
+walk — then runs on the gathered (crossing, p1, p2) table with pointer
+doubling, after a single all-gather along the sequence axis.
+
+Outputs match `stage1_core`'s contract, so the host interlude and stage-2
+profile decode are shared with the single-device and batch paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..models import tpu_engine as eng
+from ..models.parity_engine import DecodeResult
+from ..ops import chain as chain_ops
+from ..ops import goertzel, iir
+from ..utils.config import DecoderConfig
+from ..utils.lut import load_temp_lut
+
+WARMUP = 2048  # IIR warm-up halo (filter transient < ~1k samples at 44.1k)
+BIG = np.iinfo(np.int32).max // 2
+
+
+def pad_for_mesh(pcms: np.ndarray, fs: float, n_sp: int) -> np.ndarray:
+    """Zero-pad (B, N) so N divides evenly into n_sp blocks of whole
+    power-window strides."""
+    b, n = pcms.shape
+    d_pcm = int(round(fs / 25))
+    unit = n_sp * d_pcm
+    n_pad = int(np.ceil(n / unit)) * unit
+    if n_pad == n:
+        return pcms
+    out = np.zeros((b, n_pad), dtype=pcms.dtype)
+    out[:, :n] = pcms
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int):
+    n_sp = mesh.shape["sp"]
+    n = dims.n
+    assert n % n_sp == 0, "pad with pad_for_mesh first"
+    block = n // n_sp
+    assert block % dims.d_pcm == 0
+    n_win_blk = block // dims.d_pcm
+    cross_halo = dims.npcm + bit_inset + 1
+    max_cross_blk = max(block // 8, 256)
+    fwd = [(i, (i + 1) % n_sp) for i in range(n_sp)]   # send right
+    bwd = [(i, (i - 1) % n_sp) for i in range(n_sp)]   # send left
+
+    def frontend(x_blk, ptrig, btrig, sos_arr):
+        # x_blk: (b_local, block)
+        sp_i = lax.axis_index("sp")
+        is_first = sp_i == 0
+        is_last = sp_i == n_sp - 1
+
+        # --- power windows with right raw halo --------------------------
+        right_raw = lax.ppermute(x_blk[:, : dims.n_power], "sp", bwd)
+        right_raw = jnp.where(is_last, 0.0, right_raw)
+        x_ext = jnp.concatenate([x_blk, right_raw], axis=1)
+
+        def powers_one(row):
+            starts = jnp.arange(n_win_blk) * dims.d_pcm
+            frames = row[starts[:, None] + jnp.arange(dims.n_power)[None, :]]
+            proj = frames @ ptrig
+            re, im = proj[:, 0::2], proj[:, 1::2]
+            return jnp.sqrt(re * re + im * im)
+
+        powers = jax.vmap(powers_one)(x_ext)  # (b, n_win_blk, 3)
+
+        # --- filter with left warm-up halo -------------------------------
+        left_raw = lax.ppermute(x_blk[:, -WARMUP:], "sp", fwd)
+        left_raw = jnp.where(is_first, 0.0, left_raw)
+        x_warm = jnp.concatenate([left_raw, x_blk], axis=1)
+        filt = jax.vmap(lambda r: eng._apply_sos(sos_arr, r))(x_warm)[:, WARMUP:]
+
+        # --- crossings + per-crossing tone probes ------------------------
+        right_f = lax.ppermute(filt[:, :cross_halo], "sp", bwd)
+        right_f = jnp.where(is_last, 0.0, right_f)
+        f_ext = jnp.concatenate([filt, right_f], axis=1)
+
+        def cross_one(row):
+            sgn = jnp.where(row >= 0, 1, -1)
+            is_c = sgn[:block] != sgn[1 : block + 1]
+            gpos = jnp.arange(block) + sp_i * block
+            is_c &= gpos >= edge_pad
+            pos, = jnp.where(is_c, size=max_cross_blk, fill_value=BIG)
+            probes = goertzel.tone_power_at(
+                row, jnp.clip(pos, 0, block - 1) + bit_inset, dims.npcm, btrig)
+            gp = jnp.where(pos < BIG, pos + sp_i * block, BIG)
+            return gp.astype(jnp.int32), probes[:, 0], probes[:, 1]
+
+        gpos, p1, p2 = jax.vmap(cross_one)(f_ext)
+        return powers, gpos, p1, p2
+
+    return shard_map(
+        frontend, mesh=mesh,
+        in_specs=(P("dp", "sp"), P(), P(), P()),
+        out_specs=(P("dp", "sp", None), P("dp", "sp"), P("dp", "sp"),
+                   P("dp", "sp")),
+    )
+
+
+def sharded_stage1(pcms, fs: float, cfg: DecoderConfig, mesh: Mesh,
+                   dtype=jnp.float32):
+    """Time+data sharded stage 1 over a ("dp", "sp") mesh.
+
+    `pcms` is (B, N) with N divisible by n_sp * d_pcm (see pad_for_mesh).
+    Returns the stage1_core output dict, batched over B.
+    """
+    fs = float(fs)
+    b, n = pcms.shape
+    npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
+    dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
+    ptrig, sos, btrig = eng.engine_tables(cfg, fs, dims)
+
+    frontend = _sharded_frontend(mesh, dims, fs, cfg.bit_inset, 100)
+
+    @functools.partial(jax.jit)
+    def run(x, pt, bt, so):
+        powers, gpos, p1, p2 = frontend(x, pt, bt, so)
+        # compact the per-block crossing tables into global sorted order
+        order = jnp.argsort(gpos, axis=1)
+        gpos_s = jnp.take_along_axis(gpos, order, axis=1)
+        p1_s = jnp.take_along_axis(p1, order, axis=1)
+        p2_s = jnp.take_along_axis(p2, order, axis=1)
+        n_cross = jnp.sum(gpos_s < BIG, axis=1)
+
+        # smoothing + ratios on the gathered (small) power series
+        sm = jax.vmap(lambda col: iir.boxsmooth_lag(col, 5), in_axes=1,
+                      out_axes=1)
+        powers_sm = jax.vmap(sm)(powers.reshape(b, -1, 3))
+        r400 = jnp.log10(powers_sm[:, :, 0] / powers_sm[:, :, 2])
+        r7500 = jnp.log10(powers_sm[:, :, 1] / powers_sm[:, :, 2])
+
+        # greedy bit-edge chain on the replicated crossing table
+        def chain_one(crossings, nc, q1, q2):
+            edge_idx, n_edges = chain_ops.enumerate_bit_edges(
+                crossings, nc, fs, float(cfg.bitrate), dims.max_edges)
+            safe = jnp.clip(edge_idx, 0, crossings.shape[0] - 1)
+            return (crossings[safe], n_edges, q1[safe], q2[safe])
+
+        edges, n_edges, s1, s2 = jax.vmap(chain_one)(gpos_s, n_cross, p1_s, p2_s)
+        return dict(r400=r400, r7500=r7500, edge_samples=edges,
+                    n_edges=n_edges, s1=s1, s2=s2)
+
+    sh = NamedSharding(mesh, P("dp", "sp"))
+    x = jax.device_put(jnp.asarray(pcms, dtype), sh)
+    return run(x, jnp.asarray(ptrig, dtype), jnp.asarray(btrig, dtype),
+               jnp.asarray(sos, dtype)), dims
+
+
+def decode_batch_timesharded(pcms, fs, config: DecoderConfig | None = None,
+                             mesh: Mesh | None = None,
+                             dtype=jnp.float32) -> list[DecodeResult]:
+    """Full batched decode with the time-sharded front end.
+
+    DP x SP mesh: drops sharded over "dp", each drop's waveform over
+    "sp"; profile stage runs dp-sharded (it is tiny next to the front
+    end)."""
+    from .batch import run_interludes_and_profiles
+
+    cfg = config or DecoderConfig()
+    fs = float(fs)
+    pcms = np.asarray(pcms, dtype=np.float32)
+    pcms = pad_for_mesh(pcms, fs, mesh.shape["sp"])
+    b_orig = pcms.shape[0]
+    if b_orig % mesh.shape["dp"]:
+        from .batch import pad_to_multiple
+
+        (pcms,), _ = pad_to_multiple([pcms], mesh.shape["dp"])
+    n = pcms.shape[1]
+
+    s1, dims = sharded_stage1(pcms, fs, cfg, mesh, dtype)
+    s1_host = jax.tree.map(np.asarray, s1)
+
+    dp_mesh = Mesh(mesh.devices.reshape(-1)[: mesh.shape["dp"]], ("dp",))
+    results = run_interludes_and_profiles(s1_host, n, cfg, fs, dims, dp_mesh, dtype)
+    return results[:b_orig]

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Benchmark: full AXCTD decode throughput on one TPU chip.
+
+Metric: realtime factor — seconds of 44.1 kHz AXCTD audio fully decoded
+(WAV-conditioned PCM -> QC'd T/C/S/z profile + header metadata) per
+second of wall clock, for the fused TPU engine on a 600 s drop.
+
+``vs_baseline`` compares against the upstream implementation measured on
+this container's CPU (BASELINE_MEASURED.json: 22.66x realtime; the
+reference publishes no benchmarks of its own — SURVEY.md 6).
+
+Prints exactly one JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_RTF = 22.66  # see BASELINE_MEASURED.json
+DURATION = 600.0
+REPEATS = 3
+
+
+def main():
+    from axctdprocessor_tpu.models import simulator
+    from axctdprocessor_tpu.models.tpu_engine import decode_waveform_tpu
+
+    spec = simulator.SimSpec(duration=DURATION, profile_start=33.0, seed=11)
+    pcm, truth = simulator.synthesize(spec)
+    pcm = ((pcm - np.mean(pcm)) / np.max(np.abs(pcm))).astype(np.float32)
+
+    # warmup: compile both stages and the (slow first) device->host path
+    res = decode_waveform_tpu(pcm, spec.fs)
+    assert res.status == 2 and len(res.time) > 1000, (
+        f"warmup decode failed: status={res.status} rows={len(res.time)}")
+    assert res.metadata["serial_no"] == truth["serial_no"]
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        res = decode_waveform_tpu(pcm, spec.fs)
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    rtf = DURATION / wall
+
+    print(json.dumps({
+        "metric": "decode_realtime_factor",
+        "value": round(rtf, 1),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(rtf / REFERENCE_RTF, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Batched (DP) and time-sharded (SP) decode on a virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from axctdprocessor_tpu.models import simulator
+from axctdprocessor_tpu.models.tpu_engine import decode_waveform_tpu
+from axctdprocessor_tpu.parallel import batch as pbatch
+from axctdprocessor_tpu.parallel import timeshard
+from axctdprocessor_tpu.parallel.mesh import make_mesh
+from axctdprocessor_tpu.utils.wavio import read_wav
+
+
+@pytest.fixture(scope="module")
+def small_batch():
+    """Three short drops with different profiles + serials (and one dud)."""
+    drops = []
+    for i, serial in enumerate(["00123456", "0abc1234", "deadbeef"]):
+        spec = simulator.SimSpec(duration=42.0, profile_start=33.0, seed=20 + i,
+                                 serial_hex=serial)
+        pcm, truth = simulator.synthesize(spec)
+        # condition like the WAV path (normalize)
+        pcm = (pcm - np.mean(pcm)) / np.max(np.abs(pcm))
+        drops.append((pcm.astype(np.float32), truth))
+    rng = np.random.default_rng(0)
+    noise = (rng.standard_normal(int(42.0 * 44100)) * 0.3).astype(np.float32)
+    drops.append((noise, None))
+    return drops
+
+
+def test_pad_batch_and_decode_dp(small_batch):
+    pcms = pbatch.pad_batch([p for p, _ in small_batch])
+    mesh = make_mesh({"dp": 4})
+    results = pbatch.decode_batch(pcms, 44100.0, mesh=mesh)
+    assert len(results) == 4
+    for (pcm, truth), res in zip(small_batch, results):
+        if truth is None:
+            assert res.status == 0
+            assert len(res.time) == 0
+        else:
+            assert res.status == 2
+            assert res.metadata["serial_no"] == truth["serial_no"]
+            assert len(res.time) > 100
+
+
+def test_batch_matches_single_device(small_batch):
+    pcm, truth = small_batch[0]
+    single = decode_waveform_tpu(pcm, 44100.0)
+    batched = pbatch.decode_batch(pcm[None, :], 44100.0)[0]
+    assert batched.metadata == single.metadata
+    assert batched.hexframes == single.hexframes
+    np.testing.assert_array_equal(batched.time, single.time)
+    np.testing.assert_array_equal(batched.temperature, single.temperature)
+    np.testing.assert_array_equal(batched.salinity, single.salinity)
+
+
+def test_timeshard_decode(small_batch):
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    pcms = pbatch.pad_batch([small_batch[0][0], small_batch[1][0]])
+    results = timeshard.decode_batch_timesharded(pcms, 44100.0, mesh=mesh)
+    for (pcm, truth), res in zip(small_batch[:2], results):
+        assert res.status == 2
+        assert res.metadata["serial_no"] == truth["serial_no"]
+        assert len(res.time) > 100
+
+
+def test_timeshard_matches_single_device(small_batch):
+    """SP decode must agree with the single-device fused engine on frames."""
+    pcm, truth = small_batch[0]
+    single = decode_waveform_tpu(pcm, 44100.0)
+    mesh = make_mesh({"dp": 1, "sp": 8})
+    res = timeshard.decode_batch_timesharded(pcm[None, :], 44100.0, mesh=mesh)[0]
+    assert res.metadata == single.metadata
+    assert res.firstpulse400 == single.firstpulse400
+    a, b = set(res.hexframes), set(single.hexframes)
+    assert len(a & b) / max(len(a | b), 1) > 0.95
