@@ -95,7 +95,7 @@ def stage1_core(pcm, power_trig, sos_arr, bit_trig, dims: EngineDims, fs: float,
                 bitrate: float, bit_inset: int, edge_pad: int):
     x = pcm
     # A. tone powers on the uniform whole-file grid, smoothed, as ratios
-    powers = goertzel.framed_tone_power(x, dims.n_power, dims.d_pcm, power_trig)
+    powers = goertzel.framed_tone_power_tiled(x, dims.n_power, dims.d_pcm, power_trig)
     p400 = iir.boxsmooth_lag(powers[:, 0], 5)
     p7500 = iir.boxsmooth_lag(powers[:, 1], 5)
     pdead = iir.boxsmooth_lag(powers[:, 2], 5)

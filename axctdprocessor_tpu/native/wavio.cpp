@@ -1,0 +1,156 @@
+// Fast WAV ingest for the archive/streaming data path.
+//
+// The decode engines consume conditioned float PCM; for 1000-drop archive
+// jobs the Python/scipy reader becomes the host-side bottleneck (it parses
+// chunks in Python and round-trips through an int array).  This library
+// does a single-pass parse + condition in C++ and releases the GIL via
+// ctypes, so the archive runner's prefetch threads overlap device decode
+// with real parallel file IO.
+//
+// Scope: RIFF/WAVE with PCM16 / PCM32 / IEEE float32 samples, channel 0 of
+// up to 8 channels.  Conditioning matches the engines' contract
+// (reference AXCTDprocessor.py:54-57): subtract the mean, divide by the
+// peak magnitude — computed on the raw integer samples.
+//
+// Build: g++ -O3 -shared -fPIC wavio.cpp -o libaxctd_wavio.so
+// (done on demand by axctdprocessor_tpu.utils.native)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+namespace {
+
+struct WavInfo {
+    int32_t fs = 0;
+    int32_t n_channels = 0;
+    int32_t bits = 0;
+    int32_t format = 0;   // 1 = PCM int, 3 = IEEE float
+    int64_t n_frames = 0;
+    int64_t data_offset = 0;
+    int64_t data_bytes = 0;
+};
+
+bool parse_header(FILE* f, WavInfo* info) {
+    char tag[4];
+    uint32_t sz;
+    if (fread(tag, 1, 4, f) != 4 || memcmp(tag, "RIFF", 4)) return false;
+    if (fread(&sz, 4, 1, f) != 1) return false;
+    if (fread(tag, 1, 4, f) != 4 || memcmp(tag, "WAVE", 4)) return false;
+
+    bool have_fmt = false;
+    while (fread(tag, 1, 4, f) == 4 && fread(&sz, 4, 1, f) == 1) {
+        if (!memcmp(tag, "fmt ", 4)) {
+            uint16_t fmt16, nch16, bits16;
+            uint32_t fs32, brate;
+            uint16_t balign;
+            if (sz < 16) return false;
+            fread(&fmt16, 2, 1, f);
+            fread(&nch16, 2, 1, f);
+            fread(&fs32, 4, 1, f);
+            fread(&brate, 4, 1, f);
+            fread(&balign, 2, 1, f);
+            fread(&bits16, 2, 1, f);
+            if (sz > 16) fseek(f, sz - 16, SEEK_CUR);
+            info->format = fmt16;
+            info->n_channels = nch16;
+            info->fs = (int32_t)fs32;
+            info->bits = bits16;
+            have_fmt = true;
+        } else if (!memcmp(tag, "data", 4)) {
+            info->data_offset = ftell(f);
+            info->data_bytes = sz;
+            fseek(f, (sz + 1) & ~1u, SEEK_CUR);  // chunks are word-aligned
+        } else {
+            fseek(f, (sz + 1) & ~1u, SEEK_CUR);
+        }
+    }
+    if (!have_fmt || !info->data_offset) return false;
+    int64_t frame_bytes = (int64_t)info->n_channels * (info->bits / 8);
+    if (frame_bytes <= 0) return false;
+    info->n_frames = info->data_bytes / frame_bytes;
+    return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success; fills fs, n_frames, n_channels, bits.
+int axctd_wav_info(const char* path, int32_t* fs, int64_t* n_frames,
+                   int32_t* n_channels, int32_t* bits) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    WavInfo info;
+    bool ok = parse_header(f, &info);
+    fclose(f);
+    if (!ok) return -2;
+    *fs = info.fs;
+    *n_frames = info.n_frames;
+    *n_channels = info.n_channels;
+    *bits = info.bits;
+    return 0;
+}
+
+// Reads channel 0, conditioned ((x - mean) / max|x|), into out[n_frames]
+// (float32).  Returns 0 on success.
+int axctd_wav_read_conditioned(const char* path, float* out,
+                               int64_t n_frames_expected) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    WavInfo info;
+    if (!parse_header(f, &info) || info.n_frames != n_frames_expected) {
+        fclose(f);
+        return -2;
+    }
+    fseek(f, info.data_offset, SEEK_SET);
+
+    const int64_t n = info.n_frames;
+    const int nch = info.n_channels;
+    std::vector<double> ch0(n);
+
+    if (info.format == 1 && info.bits == 16) {
+        std::vector<int16_t> buf(n * nch);
+        if ((int64_t)fread(buf.data(), 2, n * nch, f) != n * nch) {
+            fclose(f);
+            return -3;
+        }
+        for (int64_t i = 0; i < n; ++i) ch0[i] = (double)buf[i * nch];
+    } else if (info.format == 1 && info.bits == 32) {
+        std::vector<int32_t> buf(n * nch);
+        if ((int64_t)fread(buf.data(), 4, n * nch, f) != n * nch) {
+            fclose(f);
+            return -3;
+        }
+        for (int64_t i = 0; i < n; ++i) ch0[i] = (double)buf[i * nch];
+    } else if (info.format == 3 && info.bits == 32) {
+        std::vector<float> buf(n * nch);
+        if ((int64_t)fread(buf.data(), 4, n * nch, f) != n * nch) {
+            fclose(f);
+            return -3;
+        }
+        for (int64_t i = 0; i < n; ++i) ch0[i] = (double)buf[i * nch];
+    } else {
+        fclose(f);
+        return -4;  // unsupported encoding
+    }
+    fclose(f);
+
+    double mean = 0.0;
+    for (int64_t i = 0; i < n; ++i) mean += ch0[i];
+    mean /= (double)n;
+    double peak = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+        double a = std::fabs(ch0[i]);
+        if (a > peak) peak = a;
+    }
+    if (peak == 0.0) peak = 1.0;
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = (float)((ch0[i] - mean) / peak);
+    }
+    return 0;
+}
+
+}  // extern "C"

@@ -52,6 +52,41 @@ def framed_tone_power(x: jnp.ndarray, window: int, stride: int, trig) -> jnp.nda
     return jnp.sqrt(re * re + im * im)
 
 
+def framed_tone_power_tiled(x: jnp.ndarray, window: int, stride: int, trig) -> jnp.ndarray:
+    """Strided-window tone power without materializing the frame matrix.
+
+    Decomposition: cut the waveform into stride-length tiles T (the
+    stride divides every window start), split the trig matrix into
+    ceil(window/stride) stride-aligned segments (zero-padded at the end),
+    and compute one GEMM per segment: ``P_j = T @ trig_j``.  A window
+    starting at tile w is then ``sum_j P_j[w + j]`` — three small matmuls
+    and shifted adds instead of an (n_win, window) gather (which costs
+    ~window/stride x the waveform in HBM and dominated stage-1 memory).
+
+    Matches :func:`framed_tone_power` up to fp reordering; the final
+    1-2 windows see zero padding instead of clamped samples (both are
+    out-of-signal garbage, masked by callers).
+    """
+    trig = jnp.asarray(trig, dtype=x.dtype)
+    n = x.shape[0]
+    n_win = max(int(np.ceil((n - window) / stride)), 0)
+    n_seg = int(np.ceil(window / stride))
+    n_tiles = int(np.ceil(n / stride))
+    x_pad = jnp.pad(x, (0, n_tiles * stride - n))
+    tiles = x_pad.reshape(n_tiles, stride)
+
+    proj = None
+    for j in range(n_seg):
+        seg = trig[j * stride : min((j + 1) * stride, window)]
+        seg = jnp.pad(seg, ((0, stride - seg.shape[0]), (0, 0)))
+        p_j = tiles @ seg  # (n_tiles, 2F) — MXU
+        shifted = p_j[j : j + n_win] if j + n_win <= n_tiles else jnp.pad(
+            p_j[j:], ((0, j + n_win - n_tiles), (0, 0)))
+        proj = shifted if proj is None else proj + shifted
+    re, im = proj[:, 0::2], proj[:, 1::2]
+    return jnp.sqrt(re * re + im * im)
+
+
 def tone_power_at(x: jnp.ndarray, starts: jnp.ndarray, window: int, trig) -> jnp.ndarray:
     """Tone power of frames beginning at arbitrary indices (e.g. bit edges).
 

@@ -1,0 +1,132 @@
+"""Archive reprocessing: decode a corpus of WAV drops at chip throughput.
+
+The BASELINE "1000-drop corpus" path.  Design:
+
+* **length bucketing** — drops are grouped by padded length (rounded up
+  to a bucket granularity) so each bucket compiles once and pads little;
+* **host->device pipelining** — while the device decodes batch k, a
+  background thread reads + conditions batch k+1's WAVs (the TPU analog
+  of the reference's PCM ring buffer; SURVEY.md 2.5 "host<->device
+  streaming");
+* **checkpoint/resume** — a JSON manifest in the output directory records
+  per-file status, so a preempted job re-run with ``resume=True`` skips
+  completed drops (the reference has no checkpointing at all;
+  SURVEY.md 5);
+* per-drop ``output.txt`` reports with the exact writer contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from ..models.parity_engine import DecodeResult
+from ..utils.config import DecoderConfig, resolve_settings
+from ..utils.profiling import StageTimer
+from ..utils.report import write_report
+from ..utils.wavio import read_wav
+from .batch import decode_batch, pad_batch
+
+BUCKET_SECONDS = 60  # pad each drop up to a whole minute bucket
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest.json")
+
+
+def _load_manifest(out_dir: str) -> dict:
+    path = _manifest_path(out_dir)
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"files": {}}
+
+
+def _save_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = _manifest_path(out_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def _read_and_condition(path: str):
+    from ..utils.native import read_wav_conditioned_f32
+
+    fast = read_wav_conditioned_f32(path)  # C++ reader; releases the GIL
+    if fast is not None:
+        return fast
+    pcm, fs = read_wav(path)
+    return np.asarray(pcm, dtype=np.float32), fs
+
+
+def reprocess_corpus(wav_paths: list[str], out_dir: str,
+                     settings: dict | None = None, compat: str = "strict",
+                     mesh=None, batch_size: int = 8, resume: bool = True,
+                     timer: StageTimer | None = None) -> dict:
+    """Decode every WAV into `out_dir`/<name>.txt; returns the manifest."""
+    os.makedirs(out_dir, exist_ok=True)
+    cfg = resolve_settings(settings, compat=compat)
+    timer = timer or StageTimer()
+    manifest = _load_manifest(out_dir) if resume else {"files": {}}
+
+    todo = [p for p in wav_paths
+            if manifest["files"].get(os.path.basename(p), {}).get("status")
+            != "done"]
+
+    # bucket by padded duration so compilations are shared
+    def bucket_of(path):
+        nbytes = os.path.getsize(path)
+        seconds = nbytes / (2 * 44100)  # 16-bit mono estimate; only a hint
+        return int(np.ceil(max(seconds, 1) / BUCKET_SECONDS))
+
+    todo.sort(key=bucket_of)
+    batches = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
+
+    executor = ThreadPoolExecutor(max_workers=2)
+
+    def load_batch(paths):
+        with timer.stage("io.read_wavs"):
+            return [(_read_and_condition(p), p) for p in paths]
+
+    pending = executor.submit(load_batch, batches[0]) if batches else None
+    for bi, paths in enumerate(batches):
+        loaded = pending.result()
+        pending = (executor.submit(load_batch, batches[bi + 1])
+                   if bi + 1 < len(batches) else None)
+
+        fs = loaded[0][0][1]
+        bucket_n = int(np.ceil(max(len(x[0][0]) for x in loaded)
+                               / (BUCKET_SECONDS * fs))) * BUCKET_SECONDS * int(fs)
+        pcms = np.zeros((len(loaded), bucket_n), dtype=np.float32)
+        for i, ((pcm, _), _) in enumerate(loaded):
+            pcms[i, : len(pcm)] = pcm[:bucket_n]
+
+        with timer.stage("device.decode_batch"):
+            results = decode_batch(pcms, fs, config=cfg, mesh=mesh)
+
+        with timer.stage("io.write_reports"):
+            for ((pcm, wav_fs), path), res in zip(loaded, results):
+                res.numpoints = len(pcm)  # report true length, not padding
+                name = os.path.basename(path)
+                out_path = os.path.join(out_dir, os.path.splitext(name)[0] + ".txt")
+                echo = {
+                    "minR400": cfg.min_r400, "mindR7500": cfg.min_dr7500,
+                    "deadfreq": cfg.dead_freq, "pointsperloop": 100000,
+                    "triggerrange": list(cfg.trigger_range),
+                }
+                write_report(out_path, res, path, [0, -1], echo, cfg)
+                manifest["files"][name] = {
+                    "status": "done", "rows": len(res.time),
+                    "decode_status": res.status, "output": out_path,
+                    "finished_at": time.time(),
+                }
+        _save_manifest(out_dir, manifest)
+
+    executor.shutdown(wait=False)
+    manifest["stage_times"] = timer.as_dict()
+    _save_manifest(out_dir, manifest)
+    return manifest

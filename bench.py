@@ -13,7 +13,13 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import time
+
+# persistent compilation cache: the axon remote-compile path takes
+# ~15 min for the 600 s-waveform programs; cache them across runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
 import numpy as np
 

@@ -1,0 +1,48 @@
+"""Corpus reprocessing: bucketing, prefetch, manifest checkpoint/resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from axctdprocessor_tpu.models import simulator
+from axctdprocessor_tpu.parallel.archive import reprocess_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    paths = []
+    for i in range(3):
+        spec = simulator.SimSpec(duration=40.0, profile_start=33.0, seed=50 + i)
+        pcm, _ = simulator.synthesize(spec)
+        p = str(d / f"drop{i}.wav")
+        simulator.write_wav(p, pcm, spec.fs)
+        paths.append(p)
+    return paths
+
+
+def test_reprocess_corpus(corpus, tmp_path):
+    out = str(tmp_path / "out")
+    manifest = reprocess_corpus(corpus, out, batch_size=2)
+    assert all(v["status"] == "done" for v in manifest["files"].values())
+    for p in corpus:
+        name = os.path.splitext(os.path.basename(p))[0] + ".txt"
+        text = open(os.path.join(out, name)).read()
+        assert "Probe Serial: 00123456" in text
+        assert text.count("\n") > 100
+    assert "device.decode_batch" in manifest["stage_times"]
+
+
+def test_resume_skips_done(corpus, tmp_path):
+    out = str(tmp_path / "out2")
+    reprocess_corpus(corpus[:2], out, batch_size=2)
+    m1 = json.load(open(os.path.join(out, "manifest.json")))
+    assert len(m1["files"]) == 2
+    # second run with the full corpus only processes the missing drop
+    m2 = reprocess_corpus(corpus, out, batch_size=2, resume=True)
+    assert len(m2["files"]) == 3
+    done1 = {k: v["finished_at"] for k, v in m1["files"].items()}
+    for k, t in done1.items():
+        assert m2["files"][k]["finished_at"] == t, "re-decoded a done file"

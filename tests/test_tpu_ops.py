@@ -119,3 +119,15 @@ def test_frame_sync_chain_matches_host(rng):
         np.testing.assert_array_equal(
             np.asarray(starts[: len(starts_ref)]), starts_ref
         )
+
+
+def test_framed_tone_power_tiled_matches_gather(rng):
+    fs = 44100.0
+    x = rng.standard_normal(int(fs * 2.3))
+    window, stride = int(fs / 10), int(round(fs / 25))
+    trig = goertzel.tone_matrix(window, [400.0, 7500.0, 3000.0], fs)
+    a = np.asarray(goertzel.framed_tone_power(jnp.asarray(x), window, stride, trig))
+    b = np.asarray(goertzel.framed_tone_power_tiled(jnp.asarray(x), window, stride, trig))
+    assert a.shape == b.shape
+    # identical except possibly the last windows (zero-pad vs clamp)
+    np.testing.assert_allclose(a[:-2], b[:-2], rtol=1e-9, atol=1e-9)
