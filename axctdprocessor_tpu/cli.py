@@ -61,12 +61,52 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference's effective (partially inert) flag semantics")
     p.add_argument("--engine", choices=["parity", "tpu"], default="parity",
                    help="Decode engine: byte-parity host engine or fused TPU engine")
+    p.add_argument("--corpus", metavar="DIR_OR_GLOB",
+                   help="Archive mode: decode every WAV in a directory (or glob) "
+                        "with the batched TPU pipeline; -o names the output dir")
+    p.add_argument("--batch-size", type=int, default=8,
+                   help="Drops per device batch in archive mode")
+    p.add_argument("--no-resume", action="store_true",
+                   help="Archive mode: re-decode files already in the manifest")
     p.add_argument("--quiet", action="store_true", help="Suppress progress output")
     return p
 
 
+def _run_corpus(args) -> int:
+    import glob as globmod
+
+    from .parallel.archive import reprocess_corpus
+
+    pattern = args.corpus
+    if os.path.isdir(pattern):
+        pattern = os.path.join(pattern, "*.wav")
+    paths = sorted(globmod.glob(pattern))
+    if not paths:
+        print(f"[!] No WAV files match {args.corpus!r}")
+        return 1
+    out_dir = args.output if args.output != "output.txt" else "corpus_out"
+    settings = {
+        "deadfreq": float(args.dead_freq),
+        "mark_space_freqs": [float(args.mark_freq), float(args.space_freq)],
+        "minR400": float(args.sig_threshold_400),
+        "mindR7500": float(args.sig_threshold_7500),
+        "use_bandpass": args.use_bandpass,
+    }
+    compat = "fixed" if args.fixed_settings else "strict"
+    manifest = reprocess_corpus(paths, out_dir, settings=settings, compat=compat,
+                                batch_size=args.batch_size,
+                                resume=not args.no_resume)
+    done = sum(1 for v in manifest["files"].values() if v["status"] == "done")
+    if not args.quiet:
+        print(f"[+] {done}/{len(paths)} drops decoded -> {out_dir}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.corpus:
+        return _run_corpus(args)
 
     if args.input == "ERROR_NO_FILE_SPECIFIED":
         print("[!] Error- no input WAV file specified! Terminating")

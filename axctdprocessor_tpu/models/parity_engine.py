@@ -196,6 +196,31 @@ class ParityDecoder:
             else:
                 self._start = end
 
+    # ------------------------------------------------------------------
+    # checkpoint / resume — the decoder state is explicit, so snapshots
+    # are a straight serialization (the upstream design's implicit
+    # promise, SURVEY.md 5, made real)
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        import pickle
+
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(self, f, protocol=pickle.HIGHEST_PROTOCOL)
+        import os
+
+        os.replace(tmp, path)
+
+    @staticmethod
+    def load_checkpoint(path: str) -> "ParityDecoder":
+        import pickle
+
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        if not isinstance(obj, ParityDecoder):
+            raise TypeError(f"not a decoder checkpoint: {type(obj)}")
+        return obj
+
     def _snapshot(self) -> DecodeResult:
         res = self.result
         res.fs = self.fs

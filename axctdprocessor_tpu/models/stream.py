@@ -59,6 +59,28 @@ class AXCTDStreamDecoder:
         self._finalized = True
         return self._engine.finalize()
 
+    def save_checkpoint(self, path: str) -> None:
+        """Snapshot the full decode state (preemption-safe resume)."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(
+                {"engine": self._engine, "rows": self._consumed_rows,
+                 "finalized": self._finalized}, f,
+                protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def load_checkpoint(cls, path: str) -> "AXCTDStreamDecoder":
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        obj = cls.__new__(cls)
+        obj._engine = state["engine"]
+        obj._consumed_rows = state["rows"]
+        obj._finalized = state["finalized"]
+        return obj
+
     def latest_rows(self) -> list[dict]:
         """Profile rows appended since the last call (for live display)."""
         res = self._engine.result

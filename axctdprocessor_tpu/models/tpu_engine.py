@@ -91,8 +91,8 @@ class EngineDims:
 # stage 1: powers + filter + bit edges + bit tone powers (device)
 # ---------------------------------------------------------------------------
 
-def stage1_core(pcm, power_trig, sos_arr, bit_trig, dims: EngineDims, fs: float,
-                bitrate: float, bit_inset: int, edge_pad: int):
+def stage1_core(pcm, power_trig, filt_response, bit_trig, dims: EngineDims,
+                fs: float, bitrate: float, bit_inset: int, edge_pad: int):
     x = pcm
     # A. tone powers on the uniform whole-file grid, smoothed, as ratios
     powers = goertzel.framed_tone_power_tiled(x, dims.n_power, dims.d_pcm, power_trig)
@@ -102,8 +102,14 @@ def stage1_core(pcm, power_trig, sos_arr, bit_trig, dims: EngineDims, fs: float,
     r400 = jnp.log10(p400 / pdead)
     r7500 = jnp.log10(p7500 / pdead)
 
-    # B. demodulation front end: filter -> crossings -> greedy edge chain
-    filtered = _apply_sos(sos_arr, x)
+    # B. demodulation front end: filter -> crossings -> greedy edge chain.
+    # Frequency-domain filtering (`filt_response` = exact SOS response at
+    # rfft bins): the associative-scan IIR is kept for short/sharded
+    # blocks, but at whole-waveform sizes its log-depth graph takes tens
+    # of minutes to compile; see ops.iir.sosfilt_fft.
+    nfft = iir.next_pow2(dims.n + 4096)
+    spec = jnp.fft.rfft(x, nfft) * filt_response
+    filtered = jnp.fft.irfft(spec, nfft)[: dims.n].astype(x.dtype)
     sgn = jnp.where(filtered >= 0, 1, -1)
     is_cross = jnp.concatenate([sgn[:-1] != sgn[1:], jnp.zeros((1,), bool)])
     is_cross &= jnp.arange(dims.n) >= edge_pad
@@ -236,13 +242,21 @@ _stage2 = functools.partial(jax.jit, static_argnames=("dims", "fs"))(stage2_core
 # ---------------------------------------------------------------------------
 
 def engine_tables(cfg: DecoderConfig, fs: float, dims: EngineDims, dtype=np.float32):
-    """Host-designed constant tables for the device stages."""
+    """Host-designed constant tables for the device stages.
+
+    Returns (power_trig, filt_response, bit_trig, sos): the demodulation
+    filter both as its exact rfft-bin frequency response (whole-waveform
+    FFT filtering in stage 1) and as raw SOS coefficients (the
+    associative-scan path used by time-sharded blocks).
+    """
     power_trig = goertzel.tone_matrix(
         dims.n_power, [400.0, 7500.0, cfg.dead_freq], fs, dtype=dtype)
     bit_trig = goertzel.tone_matrix(
         dims.npcm, [cfg.mark_freq, cfg.space_freq], fs, dtype=dtype)
-    sos = iir.design_sos(fs, cfg.use_bandpass).astype(dtype)
-    return power_trig, sos, bit_trig
+    sos = iir.design_sos(fs, cfg.use_bandpass)
+    nfft = iir.next_pow2(dims.n + 4096)
+    filt_response = iir.sos_freq_response(sos, nfft)
+    return power_trig, filt_response, bit_trig, sos.astype(dtype)
 
 
 def host_interlude(s1_out: dict, cfg: DecoderConfig, fs: float, dims: EngineDims,
@@ -363,10 +377,12 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     n = int(len(pcm))
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
-    power_trig, sos, bit_trig = engine_tables(cfg, fs, dims)
+    power_trig, filt_resp, bit_trig, _ = engine_tables(cfg, fs, dims)
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
     x = jnp.asarray(pcm, dtype=dtype)
-    s1_out = _stage1(x, jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
+    s1_out = _stage1(x, jnp.asarray(power_trig, dtype),
+                     jnp.asarray(filt_resp, cdtype),
                      jnp.asarray(bit_trig, dtype), dims, fs, float(cfg.bitrate),
                      cfg.bit_inset, 100)
 

@@ -87,6 +87,50 @@ def sosfilt(sos, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def sos_freq_response(sos, nfft: int) -> np.ndarray:
+    """Exact frequency response of the SOS cascade at rfft bin frequencies.
+
+    Computed host-side in float64: H[k] = prod_s (b0 + b1 z + b2 z^2) /
+    (1 + a1 z + a2 z^2) with z = exp(-2i pi k / nfft).
+    """
+    sos = np.asarray(sos, dtype=np.float64)
+    k = np.arange(nfft // 2 + 1)
+    z = np.exp(-2j * np.pi * k / nfft)
+    h = np.ones_like(z)
+    for sec in range(sos.shape[0]):
+        b0, b1, b2, _, a1, a2 = sos[sec]
+        h *= (b0 + b1 * z + b2 * z * z) / (1.0 + a1 * z + a2 * z * z)
+    return h
+
+
+def next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def sosfilt_fft(sos, x: jnp.ndarray, pad: int = 4096) -> jnp.ndarray:
+    """SOS cascade applied in the frequency domain (the long-waveform path).
+
+    One rfft / pointwise multiply / irfft instead of a 25-level
+    associative-scan graph — XLA compiles it in seconds where the scan
+    form takes tens of minutes at 10-minute-waveform sizes, and the
+    runtime is bandwidth-optimal.  Zero-padding by `pad` (> the filter's
+    impulse-response length) gives linear-convolution semantics at the
+    head; steady state matches the exact IIR to fp tolerance, and the
+    start-up transient differs only within the first ~IR-length samples
+    (masked by the decoder's edge buffer, and strictly more faithful than
+    the upstream per-chunk state resets).
+    """
+    n = x.shape[0]
+    nfft = next_pow2(n + pad)
+    h = sos_freq_response(sos, nfft)
+    cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
+    spec = jnp.fft.rfft(x, nfft) * jnp.asarray(h, dtype=cdtype)
+    return jnp.fft.irfft(spec, nfft)[:n].astype(x.dtype)
+
+
 def sosfilt_scan(sos, x: jnp.ndarray) -> jnp.ndarray:
     """Sequential SOS cascade with scipy's exact update order (validation)."""
     sos = jnp.asarray(sos, dtype=x.dtype)

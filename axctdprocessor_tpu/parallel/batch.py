@@ -57,8 +57,8 @@ def pad_batch(pcms: list[np.ndarray]) -> np.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _batched_stage1(dims, fs, bitrate, bit_inset, edge_pad, mesh=None):
-    def one(pcm, ptrig, sos, btrig):
-        return eng.stage1_core(pcm, ptrig, sos, btrig, dims, fs, bitrate,
+    def one(pcm, ptrig, filt_resp, btrig):
+        return eng.stage1_core(pcm, ptrig, filt_resp, btrig, dims, fs, bitrate,
                                bit_inset, edge_pad)
 
     fn = jax.vmap(one, in_axes=(0, None, None, None))
@@ -155,11 +155,12 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     b, n = pcms.shape
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
-    ptrig, sos, btrig = eng.engine_tables(cfg, fs, dims)
+    ptrig, filt_resp, btrig, _ = eng.engine_tables(cfg, fs, dims)
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
     stage1 = _batched_stage1(dims, fs, float(cfg.bitrate), cfg.bit_inset, 100, mesh)
     s1 = stage1(jnp.asarray(pcms, dtype), jnp.asarray(ptrig, dtype),
-                jnp.asarray(sos, dtype), jnp.asarray(btrig, dtype))
+                jnp.asarray(filt_resp, cdtype), jnp.asarray(btrig, dtype))
     s1_host = jax.tree.map(np.asarray, s1)
 
     results = run_interludes_and_profiles(s1_host, n, cfg, fs, dims, mesh, dtype)

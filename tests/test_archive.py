@@ -46,3 +46,13 @@ def test_resume_skips_done(corpus, tmp_path):
     done1 = {k: v["finished_at"] for k, v in m1["files"].items()}
     for k, t in done1.items():
         assert m2["files"][k]["finished_at"] == t, "re-decoded a done file"
+
+
+def test_cli_corpus_mode(corpus, tmp_path):
+    from axctdprocessor_tpu import cli
+
+    out = str(tmp_path / "cli_out")
+    rc = cli.main(["--corpus", os.path.dirname(corpus[0]), "-o", out,
+                   "--batch-size", "2", "--quiet"])
+    assert rc == 0
+    assert len(os.listdir(out)) == 4  # 3 reports + manifest

@@ -124,3 +124,13 @@ def test_timerange_trim_works(default_drop_wav):
     res_trim = decode_wav(wav, timerange=[0, 45])
     assert res_trim.firstpulse400 == res.firstpulse400
     assert len(res_trim.time) > 100
+
+
+def test_fixed_mode_bandpass_decodes(default_drop_wav):
+    # -u is inert upstream; in fixed mode the 100-1200 Hz bandpass is real
+    # and the drop must still decode end to end.
+    wav, truth = default_drop_wav
+    res = decode_wav(wav, settings={"use_bandpass": True}, compat="fixed")
+    assert res.status == 2
+    assert res.metadata["serial_no"] == truth["serial_no"]
+    assert len(res.time) > 100

@@ -64,3 +64,31 @@ def test_feed_after_finalize_raises(default_drop_wav):
     dec.finalize()
     with pytest.raises(RuntimeError):
         dec.feed(pcm[: 100])
+
+
+def test_checkpoint_resume(default_drop_wav, tmp_path):
+    """Snapshot mid-stream, resume from disk -> identical final decode."""
+    wav, _ = default_drop_wav
+    pcm, fs = read_wav(wav)
+    cut = int(20 * fs)
+
+    ref = AXCTDStreamDecoder(fs)
+    ref.feed(pcm[:cut])
+    ref.feed(pcm[cut:])
+    expected = ref.finalize()
+
+    dec = AXCTDStreamDecoder(fs)
+    dec.feed(pcm[:cut])
+    ckpt = str(tmp_path / "decoder.ckpt")
+    dec.save_checkpoint(ckpt)
+    del dec
+
+    resumed = AXCTDStreamDecoder.load_checkpoint(ckpt)
+    resumed.feed(pcm[cut:])
+    res = resumed.finalize()
+
+    assert res.metadata == expected.metadata
+    assert res.hexframes == expected.hexframes
+    np.testing.assert_array_equal(np.asarray(res.time), np.asarray(expected.time))
+    np.testing.assert_array_equal(
+        np.asarray(res.salinity), np.asarray(expected.salinity))

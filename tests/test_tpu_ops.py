@@ -131,3 +131,13 @@ def test_framed_tone_power_tiled_matches_gather(rng):
     assert a.shape == b.shape
     # identical except possibly the last windows (zero-pad vs clamp)
     np.testing.assert_allclose(a[:-2], b[:-2], rtol=1e-9, atol=1e-9)
+
+
+def test_sosfilt_fft_matches_scipy_steady_state():
+    x = np.random.default_rng(3).standard_normal(60000)
+    for bp in (False, True):
+        sos = iir.design_sos(44100.0, use_bandpass=bp)
+        ref = sg.sosfilt(sos, x)
+        mine = np.asarray(iir.sosfilt_fft(sos, jnp.asarray(x)))
+        # transient differs only within ~the impulse-response length
+        np.testing.assert_allclose(mine[3000:], ref[3000:], rtol=1e-6, atol=1e-8)
