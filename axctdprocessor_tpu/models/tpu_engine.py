@@ -91,8 +91,9 @@ class EngineDims:
 # stage 1: powers + filter + bit edges + bit tone powers (device)
 # ---------------------------------------------------------------------------
 
-def stage1_core(pcm, power_trig, filt_response, bit_trig, dims: EngineDims,
-                fs: float, bitrate: float, bit_inset: int, edge_pad: int):
+def stage1_core(pcm, power_trig, filt_real, filt_imag, bit_trig,
+                dims: EngineDims, fs: float, bitrate: float, bit_inset: int,
+                edge_pad: int):
     x = pcm
     # A. tone powers on the uniform whole-file grid, smoothed, as ratios
     powers = goertzel.framed_tone_power_tiled(x, dims.n_power, dims.d_pcm, power_trig)
@@ -103,12 +104,15 @@ def stage1_core(pcm, power_trig, filt_response, bit_trig, dims: EngineDims,
     r7500 = jnp.log10(p7500 / pdead)
 
     # B. demodulation front end: filter -> crossings -> greedy edge chain.
-    # Frequency-domain filtering (`filt_response` = exact SOS response at
-    # rfft bins): the associative-scan IIR is kept for short/sharded
-    # blocks, but at whole-waveform sizes its log-depth graph takes tens
-    # of minutes to compile; see ops.iir.sosfilt_fft.
+    # Frequency-domain filtering (exact SOS response at rfft bins, passed
+    # as float real/imag planes — complex host<->device transfers are
+    # unimplemented over the axon relay and wedge the client): the
+    # associative-scan IIR is kept for short/sharded blocks, but at
+    # whole-waveform sizes its log-depth graph takes tens of minutes to
+    # compile; see ops.iir.sosfilt_fft.
     nfft = iir.next_pow2(dims.n + 4096)
-    spec = jnp.fft.rfft(x, nfft) * filt_response
+    response = jax.lax.complex(filt_real, filt_imag)
+    spec = jnp.fft.rfft(x, nfft) * response
     filtered = jnp.fft.irfft(spec, nfft)[: dims.n].astype(x.dtype)
     sgn = jnp.where(filtered >= 0, 1, -1)
     is_cross = jnp.concatenate([sgn[:-1] != sgn[1:], jnp.zeros((1,), bool)])
@@ -378,11 +382,11 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
     power_trig, filt_resp, bit_trig, _ = engine_tables(cfg, fs, dims)
-    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
     x = jnp.asarray(pcm, dtype=dtype)
     s1_out = _stage1(x, jnp.asarray(power_trig, dtype),
-                     jnp.asarray(filt_resp, cdtype),
+                     jnp.asarray(filt_resp.real, dtype),
+                     jnp.asarray(filt_resp.imag, dtype),
                      jnp.asarray(bit_trig, dtype), dims, fs, float(cfg.bitrate),
                      cfg.bit_inset, 100)
 
