@@ -91,7 +91,27 @@ class EngineDims:
 # stage 1: powers + filter + bit edges + bit tone powers (device)
 # ---------------------------------------------------------------------------
 
-def stage1_core(pcm, power_trig, filt_real, filt_imag, bit_trig,
+def sos_response_on_device(sos_arr, nfft: int):
+    """Exact SOS cascade frequency response at rfft bins, device-computed.
+
+    Building the response from the 18 biquad coefficients on device costs
+    ~1 GFLOP of transcendentals — versus shipping a ~134 MB precomputed
+    table from the host per call.  Bin indices stay <= 2^24, so float32
+    holds them exactly.
+    """
+    k = jnp.arange(nfft // 2 + 1, dtype=jnp.float32)
+    theta = k * jnp.float32(2.0 * np.pi / nfft)
+    z = jax.lax.complex(jnp.cos(theta), -jnp.sin(theta))
+    h = jax.lax.complex(jnp.ones_like(theta), jnp.zeros_like(theta))
+    for sec in range(sos_arr.shape[0]):
+        b0, b1, b2, _, a1, a2 = (sos_arr[sec, j] for j in range(6))
+        num = b0 + z * (b1 + z * b2)
+        den = 1.0 + z * (a1 + z * a2)
+        h = h * num / den
+    return h
+
+
+def stage1_core(pcm, power_trig, sos_arr, bit_trig,
                 dims: EngineDims, fs: float, bitrate: float, bit_inset: int,
                 edge_pad: int):
     x = pcm
@@ -104,14 +124,14 @@ def stage1_core(pcm, power_trig, filt_real, filt_imag, bit_trig,
     r7500 = jnp.log10(p7500 / pdead)
 
     # B. demodulation front end: filter -> crossings -> greedy edge chain.
-    # Frequency-domain filtering (exact SOS response at rfft bins, passed
-    # as float real/imag planes — complex host<->device transfers are
-    # unimplemented over the axon relay and wedge the client): the
-    # associative-scan IIR is kept for short/sharded blocks, but at
-    # whole-waveform sizes its log-depth graph takes tens of minutes to
-    # compile; see ops.iir.sosfilt_fft.
+    # Frequency-domain filtering with the SOS response computed on device
+    # (complex values must stay inside jit — complex host<->device
+    # transfers are unimplemented over the axon relay): the associative-
+    # scan IIR is kept for short/sharded blocks, but at whole-waveform
+    # sizes its log-depth graph takes tens of minutes to compile; see
+    # ops.iir.sosfilt_fft.
     nfft = iir.next_pow2(dims.n + 4096)
-    response = jax.lax.complex(filt_real, filt_imag)
+    response = sos_response_on_device(sos_arr, nfft)
     spec = jnp.fft.rfft(x, nfft) * response
     filtered = jnp.fft.irfft(spec, nfft)[: dims.n].astype(x.dtype)
     sgn = jnp.where(filtered >= 0, 1, -1)
@@ -245,22 +265,26 @@ _stage2 = functools.partial(jax.jit, static_argnames=("dims", "fs"))(stage2_core
 # host orchestration
 # ---------------------------------------------------------------------------
 
-def engine_tables(cfg: DecoderConfig, fs: float, dims: EngineDims, dtype=np.float32):
-    """Host-designed constant tables for the device stages.
+@functools.lru_cache(maxsize=16)
+def _engine_tables_cached(key, fs: float, n_power: int, npcm: int):
+    mark, space, dead, use_bp = key
+    power_trig = goertzel.tone_matrix(n_power, [400.0, 7500.0, dead], fs,
+                                      dtype=np.float32)
+    bit_trig = goertzel.tone_matrix(npcm, [mark, space], fs, dtype=np.float32)
+    sos = iir.design_sos(fs, use_bp)
+    return power_trig, bit_trig, sos
 
-    Returns (power_trig, filt_response, bit_trig, sos): the demodulation
-    filter both as its exact rfft-bin frequency response (whole-waveform
-    FFT filtering in stage 1) and as raw SOS coefficients (the
-    associative-scan path used by time-sharded blocks).
-    """
-    power_trig = goertzel.tone_matrix(
-        dims.n_power, [400.0, 7500.0, cfg.dead_freq], fs, dtype=dtype)
-    bit_trig = goertzel.tone_matrix(
-        dims.npcm, [cfg.mark_freq, cfg.space_freq], fs, dtype=dtype)
-    sos = iir.design_sos(fs, cfg.use_bandpass)
-    nfft = iir.next_pow2(dims.n + 4096)
-    filt_response = iir.sos_freq_response(sos, nfft)
-    return power_trig, filt_response, bit_trig, sos.astype(dtype)
+
+def engine_tables(cfg: DecoderConfig, fs: float, dims: EngineDims, dtype=np.float32):
+    """Host-designed constant tables (cached): tone matrices + SOS.
+
+    The demodulation filter crosses to the device as its 18 raw SOS
+    coefficients; stage 1 evaluates the exact rfft-bin response on device
+    (sos_response_on_device)."""
+    key = (cfg.mark_freq, cfg.space_freq, cfg.dead_freq, cfg.use_bandpass)
+    power_trig, bit_trig, sos = _engine_tables_cached(key, fs, dims.n_power,
+                                                      dims.npcm)
+    return power_trig, bit_trig, sos.astype(dtype)
 
 
 def host_interlude(s1_out: dict, cfg: DecoderConfig, fs: float, dims: EngineDims,
@@ -381,12 +405,10 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     n = int(len(pcm))
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
-    power_trig, filt_resp, bit_trig, _ = engine_tables(cfg, fs, dims)
+    power_trig, bit_trig, sos = engine_tables(cfg, fs, dims)
 
     x = jnp.asarray(pcm, dtype=dtype)
-    s1_out = _stage1(x, jnp.asarray(power_trig, dtype),
-                     jnp.asarray(filt_resp.real, dtype),
-                     jnp.asarray(filt_resp.imag, dtype),
+    s1_out = _stage1(x, jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
                      jnp.asarray(bit_trig, dtype), dims, fs, float(cfg.bitrate),
                      cfg.bit_inset, 100)
 

@@ -57,16 +57,16 @@ def pad_batch(pcms: list[np.ndarray]) -> np.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _batched_stage1(dims, fs, bitrate, bit_inset, edge_pad, mesh=None):
-    def one(pcm, ptrig, filt_real, filt_imag, btrig):
-        return eng.stage1_core(pcm, ptrig, filt_real, filt_imag, btrig, dims,
+    def one(pcm, ptrig, sos, btrig):
+        return eng.stage1_core(pcm, ptrig, sos, btrig, dims,
                                fs, bitrate, bit_inset, edge_pad)
 
-    fn = jax.vmap(one, in_axes=(0, None, None, None, None))
+    fn = jax.vmap(one, in_axes=(0, None, None, None))
     if mesh is None:
         return jax.jit(fn)
     sh = NamedSharding(mesh, P("dp", None))
     rep = NamedSharding(mesh, P())
-    return jax.jit(fn, in_shardings=(sh, rep, rep, rep, rep))
+    return jax.jit(fn, in_shardings=(sh, rep, rep, rep))
 
 
 @functools.lru_cache(maxsize=8)
@@ -155,12 +155,11 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     b, n = pcms.shape
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
-    ptrig, filt_resp, btrig, _ = eng.engine_tables(cfg, fs, dims)
+    ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)
 
     stage1 = _batched_stage1(dims, fs, float(cfg.bitrate), cfg.bit_inset, 100, mesh)
     s1 = stage1(jnp.asarray(pcms, dtype), jnp.asarray(ptrig, dtype),
-                jnp.asarray(filt_resp.real, dtype),
-                jnp.asarray(filt_resp.imag, dtype), jnp.asarray(btrig, dtype))
+                jnp.asarray(sos, dtype), jnp.asarray(btrig, dtype))
     s1_host = jax.tree.map(np.asarray, s1)
 
     results = run_interludes_and_profiles(s1_host, n, cfg, fs, dims, mesh, dtype)

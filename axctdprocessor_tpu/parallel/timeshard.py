@@ -138,7 +138,7 @@ def sharded_stage1(pcms, fs: float, cfg: DecoderConfig, mesh: Mesh,
     b, n = pcms.shape
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
-    ptrig, _, btrig, sos = eng.engine_tables(cfg, fs, dims)
+    ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)
 
     frontend = _sharded_frontend(mesh, dims, fs, cfg.bit_inset, 100)
 
