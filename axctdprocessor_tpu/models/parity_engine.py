@@ -295,13 +295,18 @@ class ParityDecoder:
                 self.mean7500 = np.nanmean(self.r7500[s:e]) if e > s else np.nan
 
         if self.power_inds[-1] > self.firstpulse400 + int(cfg.trigger_range[0] * fs):
-            if not np.isnan(self.mean7500) and self.status == 1:
+            tone_path = not np.isnan(self.mean7500) and self.status == 1
+            if tone_path:
                 hits = np.flatnonzero(self.r7500[pstart:] - self.mean7500 >= cfg.min_dr7500)
                 if hits.size:
                     self.profstartind = self.power_inds[pstart:][hits[0]]
                     self.status = 2
-            elif (cfg.trigger_range[1] > 0 and self.power_inds[-1]
-                  >= self.firstpulse400 + int(fs * cfg.trigger_range[1])):
+            # upstream's elif makes the hard timeout unreachable whenever a
+            # baseline exists; fixed mode lets -b work as documented
+            if (self.status == 1 and cfg.trigger_range[1] > 0
+                    and (cfg.compat == "fixed" or not tone_path)
+                    and self.power_inds[-1]
+                    >= self.firstpulse400 + int(fs * cfg.trigger_range[1])):
                 self.profstartind = self.firstpulse400 + int(fs * cfg.trigger_range[1])
                 self.status = 2
             if self.profstartind > 0 and self.firstpointtime <= 0:

@@ -114,7 +114,13 @@ def sos_response_on_device(sos_arr, nfft: int):
 def stage1_core(pcm, power_trig, sos_arr, bit_trig,
                 dims: EngineDims, fs: float, bitrate: float, bit_inset: int,
                 edge_pad: int):
-    x = pcm
+    # integer PCM is conditioned on device (mean-removal + peak
+    # normalization) — shipping int16 halves the host->device transfer
+    if jnp.issubdtype(pcm.dtype, jnp.integer):
+        xf = pcm.astype(jnp.float32)
+        x = (xf - jnp.mean(xf)) / jnp.max(jnp.abs(xf))
+    else:
+        x = pcm
     # A. tone powers on the uniform whole-file grid, smoothed, as ratios
     powers = goertzel.framed_tone_power_tiled(x, dims.n_power, dims.d_pcm, power_trig)
     p400 = iir.boxsmooth_lag(powers[:, 0], 5)
@@ -323,9 +329,12 @@ def host_interlude(s1_out: dict, cfg: DecoderConfig, fs: float, dims: EngineDims
     trig_mask = (win_samples > firstpulse + cfg.trigger_range[0] * fs) & (
         r7500 - mean7500 >= cfg.min_dr7500)
     profstart = -1
-    if not np.isnan(mean7500) and trig_mask.any():
+    tone_path = not np.isnan(mean7500)
+    if tone_path and trig_mask.any():
         profstart = int(win_samples[np.flatnonzero(trig_mask)[0]])
-    elif cfg.trigger_range[1] > 0:
+    elif (cfg.trigger_range[1] > 0
+          and (cfg.compat == "fixed" or not tone_path)
+          and win_samples[-1] >= firstpulse + fs * cfg.trigger_range[1]):
         profstart = firstpulse + int(fs * cfg.trigger_range[1])
 
     # ---- host: bit decisions, scale calibration, header decode ----------
@@ -407,7 +416,13 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     dims = EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
     power_trig, bit_trig, sos = engine_tables(cfg, fs, dims)
 
-    x = jnp.asarray(pcm, dtype=dtype)
+    # integer PCM ships as-is (conditioned on device); floats take the
+    # requested compute dtype
+    if np.issubdtype(np.asarray(pcm).dtype, np.integer):
+        x = jnp.asarray(pcm)
+        dtype = jnp.float32
+    else:
+        x = jnp.asarray(pcm, dtype=dtype)
     s1_out = _stage1(x, jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
                      jnp.asarray(bit_trig, dtype), dims, fs, float(cfg.bitrate),
                      cfg.bit_inset, 100)
@@ -434,9 +449,16 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
 
 def decode_wav_tpu(path: str, timerange=(0, -1), settings: dict | None = None,
                    compat: str = "strict") -> DecodeResult:
-    """Read + condition + decode a WAV with the TPU engine."""
-    from ..utils.wavio import read_wav
+    """Read + decode a WAV with the TPU engine.
 
-    pcm, fs = read_wav(path, timerange)
+    int16 mono WAVs at <=50 kHz ship raw to the device and are
+    conditioned there (half the transfer bytes); other encodings go
+    through the host conditioning path."""
+    from ..utils.wavio import read_wav, read_wav_raw16
+
     cfg = resolve_settings(settings, compat=compat)
+    raw = read_wav_raw16(path, timerange)
+    if raw is not None:
+        return decode_waveform_tpu(raw[0], raw[1], config=cfg)
+    pcm, fs = read_wav(path, timerange)
     return decode_waveform_tpu(pcm, fs, config=cfg)

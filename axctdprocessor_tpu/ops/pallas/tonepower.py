@@ -39,15 +39,18 @@ SMOOTH = 5         # trailing windows in the box smoother (window+1 = 6 taps)
 def trig_segments(window: int, stride: int, freqs, fs: float) -> np.ndarray:
     """(n_seg, stride, LANES) stride-aligned cos/sin segment matrices.
 
-    Column layout: [cos f0, sin f0, cos f1, sin f1, cos f2, sin f2, 0, 0].
+    Column layout keeps cos and sin in contiguous lane blocks —
+    [cos f0, cos f1, cos f2, pad, sin f0, sin f1, sin f2, pad] — so the
+    kernel splits them with contiguous slices (Mosaic cannot lower
+    strided lane gathers).
     """
     assert len(freqs) == 3
     n_seg = int(np.ceil(window / stride))
     k = 2 * np.pi * np.arange(window) / fs
     full = np.zeros((window, LANES), dtype=np.float32)
     for j, f in enumerate(freqs):
-        full[:, 2 * j] = np.cos(k * f)
-        full[:, 2 * j + 1] = np.sin(k * f)
+        full[:, j] = np.cos(k * f)
+        full[:, 4 + j] = np.sin(k * f)
     segs = np.zeros((n_seg, stride, LANES), dtype=np.float32)
     for j in range(n_seg):
         seg = full[j * stride : min((j + 1) * stride, window)]
@@ -72,8 +75,8 @@ def _make_kernel(block: int, n_seg: int):
         for j in range(n_seg):
             proj = proj + jnp.dot(hist_tiles[j : j + block], segs_ref[j],
                                   preferred_element_type=jnp.float32)
-        re = proj[:, 0::2]
-        im = proj[:, 1::2]
+        re = proj[:, 0:4]
+        im = proj[:, 4:8]
         power = jnp.sqrt(re * re + im * im)  # (block, 4); lane 3 is pad
 
         # global window index of each row (first `shift` rows of step 0

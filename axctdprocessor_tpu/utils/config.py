@@ -76,6 +76,11 @@ class DecoderConfig:
     slims: Sequence[float] = (-1, 100)
     # points per processing loop; None -> refresh_rate * fs
     points_per_loop: int | None = None
+    # which compatibility mode produced this config ("strict"/"fixed");
+    # strict keeps the upstream quirk that the hard-timeout trigger only
+    # fires when the 7500 Hz baseline could not be computed
+    # (AXCTDprocessor.py:398-404 if/elif chain)
+    compat: str = "strict"
 
     @property
     def min_r400_inprof(self) -> float:
@@ -122,6 +127,7 @@ def resolve_settings(user_settings: dict | None, compat: str = "strict") -> Deco
         tlims=s["tlims_axctd"],
         slims=s["slims_axctd"],
     )
+    cfg.compat = compat
     if compat == "strict":
         cfg.trigger_range = [30, -1]  # hardcoded upstream (AXCTDprocessor.py:250)
     else:

@@ -44,3 +44,26 @@ def read_wav(path: str, timerange=(0, -1)):
         pcm = pcm[int(fs * timerange[0]):]
 
     return pcm, fs
+
+
+def read_wav_raw16(path: str, timerange=(0, -1)):
+    """Raw int16 mono samples + fs, or None if this WAV needs the full
+    conditioning path (stereo uses ch0; >50 kHz requires the decimator;
+    non-int16 needs float conditioning).
+
+    The TPU engine conditions integer PCM on device, so this read avoids
+    both the host float conversion and half the host->device bytes.
+    """
+    fs, snd = wavfile.read(path, mmap=True)
+    if fs > 50000 or snd.dtype != np.int16:
+        return None
+    if snd.ndim == 2:
+        snd = snd[:, 0]
+    elif snd.ndim != 1:
+        return None
+    snd = np.ascontiguousarray(snd)
+    if timerange[1] > 0:
+        snd = snd[: int(fs * timerange[1])]
+    if timerange[0] > 0:
+        snd = snd[int(fs * timerange[0]):]
+    return snd, fs

@@ -29,23 +29,27 @@ REPEATS = 3
 
 
 def main():
+    import tempfile
+
     from axctdprocessor_tpu.models import simulator
-    from axctdprocessor_tpu.models.tpu_engine import decode_waveform_tpu
+    from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
 
     spec = simulator.SimSpec(duration=DURATION, profile_start=33.0, seed=11)
     pcm, truth = simulator.synthesize(spec)
-    pcm = ((pcm - np.mean(pcm)) / np.max(np.abs(pcm))).astype(np.float32)
+    wav = os.path.join(tempfile.gettempdir(), "bench_drop600.wav")
+    simulator.write_wav(wav, pcm, spec.fs)
 
     # warmup: compile both stages and the (slow first) device->host path
-    res = decode_waveform_tpu(pcm, spec.fs)
+    res = decode_wav_tpu(wav)
     assert res.status == 2 and len(res.time) > 1000, (
         f"warmup decode failed: status={res.status} rows={len(res.time)}")
     assert res.metadata["serial_no"] == truth["serial_no"]
 
+    # timed: full WAV-file -> QC'd profile decode, end to end
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        res = decode_waveform_tpu(pcm, spec.fs)
+        res = decode_wav_tpu(wav)
         times.append(time.perf_counter() - t0)
     wall = min(times)
     rtf = DURATION / wall

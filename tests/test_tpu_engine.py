@@ -118,3 +118,16 @@ def test_cli_tpu_engine(default_drop_wav, tmp_path):
     text = out.read_text()
     assert "Probe Serial: 00123456" in text
     assert text.count("\n") > 300
+
+
+def test_int16_device_conditioning(default_drop_wav):
+    """decode_wav_tpu's raw-int16 path equals the host-conditioned path."""
+    from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
+
+    wav, truth = default_drop_wav
+    res_raw = decode_wav_tpu(wav)  # int16 -> device conditioning
+    pcm, fs = read_wav(wav)
+    res_f32 = decode_waveform_tpu(pcm.astype(np.float32), fs)
+    assert res_raw.metadata["serial_no"] == truth["serial_no"]
+    assert res_raw.hexframes == res_f32.hexframes
+    assert abs(len(res_raw.time) - len(res_f32.time)) <= 2
