@@ -23,3 +23,25 @@ the time axis with halo exchange).
 """
 
 __version__ = "0.1.0"
+
+_EXPORTS = {
+    "decode_wav": ("axctdprocessor_tpu.models.parity_engine", "decode_wav"),
+    "decode_waveform": ("axctdprocessor_tpu.models.parity_engine", "decode_waveform"),
+    "decode_wav_tpu": ("axctdprocessor_tpu.models.tpu_engine", "decode_wav_tpu"),
+    "decode_waveform_tpu": ("axctdprocessor_tpu.models.tpu_engine", "decode_waveform_tpu"),
+    "decode_batch": ("axctdprocessor_tpu.parallel.batch", "decode_batch"),
+    "reprocess_corpus": ("axctdprocessor_tpu.parallel.archive", "reprocess_corpus"),
+    "AXCTDStreamDecoder": ("axctdprocessor_tpu.models.stream", "AXCTDStreamDecoder"),
+    "DecoderConfig": ("axctdprocessor_tpu.utils.config", "DecoderConfig"),
+    "resolve_settings": ("axctdprocessor_tpu.utils.config", "resolve_settings"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing JAX for CLI-help-only runs)."""
+    if name in _EXPORTS:
+        import importlib
+
+        module, attr = _EXPORTS[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
