@@ -50,7 +50,6 @@ from ..ops.bits import nibbles_to_hex_np
 from ..ops.seawater import sp_from_c
 from ..utils.config import DecoderConfig, resolve_settings
 from ..utils.lut import load_temp_lut
-from . import demod as demod_host
 from . import frames as frames_host
 from . import metadata as md
 from .parity_engine import DecodeResult
@@ -170,6 +169,70 @@ def _apply_sos(sos_arr, x):
         b0, b1, b2, _, a1, a2 = (sos_arr[sec, j] for j in range(6))
         y = iir._biquad_parallel(y, (b0, b1, b2, a1, a2))
     return y
+
+
+# ---------------------------------------------------------------------------
+# stage 1.5: bit decisions + scale calibration + header windows (device)
+# ---------------------------------------------------------------------------
+
+HEADER_WINDOW_BITS = 6144  # capacity for one header capture window's bits
+
+
+def stage15_core(s1, s2, edge_samples, n_edges, h_bounds, calib_cut,
+                 dims: EngineDims):
+    """Demod decisions on device: calibrate the space-power scale from the
+    header-1 confidence histogram (reference demodulate.py:124-157), call
+    every bit, and compact the header-2/3 capture windows into small
+    fixed-size buffers so the host only reads back ~12 KB.
+
+    `h_bounds` is int32[6]: (h1_lo, h1_hi, h2_lo, h2_hi, h3_lo, h3_hi)
+    inclusive PCM-sample bounds of the three capture windows.
+    """
+    me = dims.max_edges
+    idx = jnp.arange(me)
+    bit_valid = idx < n_edges - 1  # the final edge's bit is never emitted
+    scale0 = jnp.float32(1.5)
+    conf0 = s2 * scale0 / jnp.maximum(s1, 1e-30)
+
+    in_h1 = bit_valid & (edge_samples >= h_bounds[0]) & (edge_samples <= h_bounds[1])
+    n_h1 = jnp.sum(in_h1.astype(jnp.int32))
+
+    # histogram of confidences on [0, 3) in 0.01 bins (299 bins)
+    vals = jnp.where(in_h1, conf0, -1.0)
+    bin_idx = jnp.floor(vals * 100.0).astype(jnp.int32)
+    in_range = (bin_idx >= 0) & (bin_idx < 299)
+    counts = jnp.zeros((300,), jnp.int32).at[
+        jnp.where(in_range, bin_idx, 299)].add(1)[:299]
+    cum = 100.0 * jnp.cumsum(counts).astype(jnp.float32) / jnp.maximum(n_h1, 1)
+    centers = (jnp.arange(299, dtype=jnp.float32) + 0.5) * 0.01
+    slope_mid = (cum[2:] - cum[:-2]) / 0.02
+    slope = jnp.concatenate([
+        (cum[1:2] - cum[0:1]) / 0.01, slope_mid, (cum[-1:] - cum[-2:-1]) / 0.01])
+    in_band = (cum >= 30.0) & (cum <= 65.0)
+    inf = jnp.float32(np.inf)
+    min_slope = jnp.min(jnp.where(in_band, slope, inf))
+    is_min = in_band & (slope == min_slope)
+    first_c = centers[jnp.argmax(is_min)]
+    last_c = centers[298 - jnp.argmax(is_min[::-1])]
+    threshold = 0.5 * (first_c + last_c)
+    ok = (n_h1 > 50) & jnp.any(in_band) & (threshold > 0)
+    scale_new = jnp.where(ok, scale0 / threshold, scale0)
+
+    eff = jnp.where(edge_samples <= calib_cut, scale0, scale_new)
+    bits = ((s1 >= s2 * eff) & bit_valid).astype(jnp.int32)
+
+    def window(lo, hi):
+        sel = bit_valid & (edge_samples >= lo) & (edge_samples <= hi)
+        pos, = jnp.where(sel, size=HEADER_WINDOW_BITS, fill_value=me - 1)
+        return bits[pos], jnp.sum(sel.astype(jnp.int32))
+
+    h2_bits, h2_n = window(h_bounds[2], h_bounds[3])
+    h3_bits, h3_n = window(h_bounds[4], h_bounds[5])
+    return dict(bits=bits, scale=scale_new, h2_bits=h2_bits, h2_n=h2_n,
+                h3_bits=h3_bits, h3_n=h3_n)
+
+
+_stage15 = functools.partial(jax.jit, static_argnames=("dims",))(stage15_core)
 
 
 # ---------------------------------------------------------------------------
@@ -293,96 +356,6 @@ def engine_tables(cfg: DecoderConfig, fs: float, dims: EngineDims, dtype=np.floa
     return power_trig, bit_trig, sos.astype(dtype)
 
 
-def host_interlude(s1_out: dict, cfg: DecoderConfig, fs: float, dims: EngineDims,
-                   n: int):
-    """Scalar trigger logic + calibration + header decode for one drop.
-
-    Takes stage-1 outputs (as host arrays or device arrays), returns
-    (result, bits, mean7500, profstart, live_coeffs).  ``result.status``
-    < 2 means there is no profile to parse.
-    """
-    r400 = np.asarray(s1_out["r400"], dtype=np.float64)
-    r7500 = np.asarray(s1_out["r7500"], dtype=np.float64)
-    edge_samples = np.asarray(s1_out["edge_samples"])
-    n_edges = int(s1_out["n_edges"])
-    s1 = np.asarray(s1_out["s1"], dtype=np.float64)
-    s2 = np.asarray(s1_out["s2"], dtype=np.float64)
-
-    result = DecodeResult(fs=fs if fs != int(fs) else int(fs), numpoints=n)
-
-    # ---- host scalar logic: pulse / baseline / trigger ------------------
-    # window count follows the array (the time-sharded front end computes
-    # a slightly denser grid than the single-device path)
-    win_samples = np.arange(len(r400)) * dims.d_pcm
-    pulse_hits = np.flatnonzero(r400 >= cfg.min_r400)
-    if pulse_hits.size == 0:
-        result.status = 0
-        return result
-    pulse_win = int(pulse_hits[0])
-    firstpulse = int(win_samples[pulse_win])
-    result.firstpulse400 = firstpulse
-    result.status = 1
-
-    base_mask = (win_samples >= firstpulse + 4.5 * fs) & (win_samples <= firstpulse + 5.5 * fs)
-    mean7500 = float(np.nanmean(r7500[base_mask])) if base_mask.any() else np.nan
-
-    trig_mask = (win_samples > firstpulse + cfg.trigger_range[0] * fs) & (
-        r7500 - mean7500 >= cfg.min_dr7500)
-    profstart = -1
-    tone_path = not np.isnan(mean7500)
-    if tone_path and trig_mask.any():
-        profstart = int(win_samples[np.flatnonzero(trig_mask)[0]])
-    elif (cfg.trigger_range[1] > 0
-          and (cfg.compat == "fixed" or not tone_path)
-          and win_samples[-1] >= firstpulse + fs * cfg.trigger_range[1]):
-        profstart = firstpulse + int(fs * cfg.trigger_range[1])
-
-    # ---- host: bit decisions, scale calibration, header decode ----------
-    n_bits = max(n_edges - 1, 0)
-    valid = slice(0, n_bits)
-    scale0 = 1.5
-    with np.errstate(invalid="ignore", divide="ignore"):
-        conf0 = s2[valid] * scale0 / s1[valid]
-    h1_lo = firstpulse + int(fs * (2.3 - 0.5))
-    h1_hi = firstpulse + int(fs * (3.3 + 0.5))
-    in_h1 = (edge_samples[valid] >= h1_lo) & (edge_samples[valid] <= h1_hi)
-    scale = scale0
-    if in_h1.sum() > 50:
-        try:
-            scale = demod_host.calibrate_scale_factor(conf0[in_h1], scale0)
-        except (ValueError, IndexError):
-            pass
-    calib_cut = firstpulse + int(fs * 3.8)
-    eff_scale = np.where(edge_samples[valid] <= calib_cut, scale0, scale)
-    bits = (s1[valid] >= s2[valid] * eff_scale).astype(np.int64)
-
-    headers: list = [None, None]
-    for slot, (ws, we) in enumerate(((10.5, 14.8), (20.0, 24.5))):
-        lo = firstpulse + int(fs * (ws - 0.5))
-        hi = firstpulse + int(fs * (we + 0.5))
-        sel = (edge_samples[valid] >= lo) & (edge_samples[valid] <= hi)
-        if sel.sum() < 72 * 32:
-            continue
-        header_bits = frames_host.trim_header(bits[sel])
-        if len(header_bits) >= 72 * 32:
-            try:
-                headers[slot] = frames_host.parse_header(header_bits)
-            except ValueError:
-                pass
-    live = {"tcoeff": list(cfg.tcoeff_default), "ccoeff": list(cfg.ccoeff_default),
-            "zcoeff": list(cfg.zcoeff_default)}
-    md.merge_headers(result.metadata, headers[0], headers[1], live)
-
-    if profstart >= 0:
-        result.status = 2
-        result.profstartind = profstart
-        result.firstpointtime = profstart / fs
-
-    bits_padded = np.zeros(dims.max_edges, dtype=np.int32)
-    bits_padded[:n_bits] = bits
-    return result, bits_padded, n_bits, mean7500, profstart, live
-
-
 def qc_limits(cfg: DecoderConfig, dtype=np.float32) -> np.ndarray:
     return np.asarray([cfg.min_dr7500_inprof, cfg.min_r400_inprof,
                        cfg.tlims[0], cfg.tlims[1], cfg.slims[0], cfg.slims[1]],
@@ -406,9 +379,70 @@ def attach_profile(result: DecodeResult, out: dict) -> DecodeResult:
     return result
 
 
+def trigger_scalars(r400: np.ndarray, r7500: np.ndarray, cfg: DecoderConfig,
+                    fs: float, d_pcm: int):
+    """Host scalar logic over the 25 Hz power series: pulse detection,
+    7500 Hz baseline, profile trigger.  Returns
+    (firstpulse|-1, mean7500, profstart|-1)."""
+    win_samples = np.arange(len(r400)) * d_pcm
+    pulse_hits = np.flatnonzero(r400 >= cfg.min_r400)
+    if pulse_hits.size == 0:
+        return -1, np.nan, -1
+    firstpulse = int(win_samples[int(pulse_hits[0])])
+
+    base_mask = (win_samples >= firstpulse + 4.5 * fs) & (
+        win_samples <= firstpulse + 5.5 * fs)
+    with np.errstate(invalid="ignore"):
+        mean7500 = float(np.nanmean(r7500[base_mask])) if base_mask.any() else np.nan
+
+    trig_mask = (win_samples > firstpulse + cfg.trigger_range[0] * fs) & (
+        r7500 - mean7500 >= cfg.min_dr7500)
+    profstart = -1
+    tone_path = not np.isnan(mean7500)
+    if tone_path and trig_mask.any():
+        profstart = int(win_samples[np.flatnonzero(trig_mask)[0]])
+    elif (cfg.trigger_range[1] > 0
+          and (cfg.compat == "fixed" or not tone_path)
+          and win_samples[-1] >= firstpulse + fs * cfg.trigger_range[1]):
+        profstart = firstpulse + int(fs * cfg.trigger_range[1])
+    return firstpulse, mean7500, profstart
+
+
+def header_bounds(firstpulse: int, fs: float) -> np.ndarray:
+    """Inclusive PCM bounds of the three header capture windows
+    (reference windows +-0.5 s margin, AXCTDprocessor.py:447-456)."""
+    rel = (2.3 - 0.5, 3.3 + 0.5, 10.5 - 0.5, 14.8 + 0.5, 20.0 - 0.5, 24.5 + 0.5)
+    return np.asarray([firstpulse + int(fs * r) for r in rel], dtype=np.int32)
+
+
+def decode_headers_host(h2, h2_n, h3, h3_n, cfg: DecoderConfig, metadata: dict):
+    """trim+parse headers 2/3 from their capture-window bits (host)."""
+    headers: list = [None, None]
+    for slot, (bits_w, n_w) in enumerate(((h2, h2_n), (h3, h3_n))):
+        if n_w < 72 * 32:
+            continue
+        header_bits = frames_host.trim_header(bits_w[:n_w])
+        if len(header_bits) >= 72 * 32:
+            try:
+                headers[slot] = frames_host.parse_header(header_bits)
+            except ValueError:
+                pass
+    live = {"tcoeff": list(cfg.tcoeff_default), "ccoeff": list(cfg.ccoeff_default),
+            "zcoeff": list(cfg.zcoeff_default)}
+    md.merge_headers(metadata, headers[0], headers[1], live)
+    return live
+
+
 def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
                         dtype=jnp.float32) -> DecodeResult:
-    """Decode a conditioned waveform with the fused TPU engine."""
+    """Decode a conditioned (or raw-integer) waveform with the TPU engine.
+
+    Device/host split: stage 1 (everything expensive) -> ~120 KB of power
+    ratios to host -> trigger scalars -> stage 1.5 (bit decisions +
+    calibration + header-window compaction, on device) -> ~12 KB of
+    header bits to host -> metadata decode -> stage 2 (profile, on
+    device, with bits/edges never leaving the device) -> profile rows.
+    """
     cfg = config or DecoderConfig()
     fs = float(fs)
     n = int(len(pcm))
@@ -423,21 +457,37 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
         dtype = jnp.float32
     else:
         x = jnp.asarray(pcm, dtype=dtype)
-    s1_out = _stage1(x, jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
-                     jnp.asarray(bit_trig, dtype), dims, fs, float(cfg.bitrate),
-                     cfg.bit_inset, 100)
+    s1 = _stage1(x, jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
+                 jnp.asarray(bit_trig, dtype), dims, fs, float(cfg.bitrate),
+                 cfg.bit_inset, 100)
 
-    interlude = host_interlude(s1_out, cfg, fs, dims, n)
-    if isinstance(interlude, DecodeResult):
-        return interlude
-    result, bits_padded, n_bits, mean7500, profstart, live = interlude
-    if result.status < 2:
+    result = DecodeResult(fs=fs if fs != int(fs) else int(fs), numpoints=n)
+    r400 = np.asarray(s1["r400"], dtype=np.float64)
+    r7500 = np.asarray(s1["r7500"], dtype=np.float64)
+    firstpulse, mean7500, profstart = trigger_scalars(r400, r7500, cfg, fs,
+                                                      dims.d_pcm)
+    if firstpulse < 0:
+        result.status = 0
         return result
+    result.status = 1
+    result.firstpulse400 = firstpulse
+
+    s15 = _stage15(s1["s1"], s1["s2"], s1["edge_samples"], s1["n_edges"],
+                   jnp.asarray(header_bounds(firstpulse, fs)),
+                   jnp.asarray(firstpulse + int(fs * 3.8), jnp.int32), dims)
+    live = decode_headers_host(
+        np.asarray(s15["h2_bits"]), int(s15["h2_n"]),
+        np.asarray(s15["h3_bits"]), int(s15["h3_n"]), cfg, result.metadata)
+
+    if profstart < 0:
+        return result
+    result.status = 2
+    result.profstartind = profstart
+    result.firstpointtime = profstart / fs
 
     out = _stage2(
-        jnp.asarray(bits_padded), jnp.asarray(n_bits, jnp.int32),
-        jnp.asarray(np.asarray(s1_out["edge_samples"]), jnp.int32),
-        s1_out["r400"], s1_out["r7500"],
+        s15["bits"], s1["n_edges"] - 1, s1["edge_samples"],
+        s1["r400"], s1["r7500"],
         jnp.asarray(mean7500, dtype), jnp.asarray(profstart, jnp.int32),
         jnp.asarray(live["tcoeff"], dtype), jnp.asarray(live["ccoeff"], dtype),
         jnp.asarray(live["zcoeff"], dtype),

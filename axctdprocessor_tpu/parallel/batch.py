@@ -78,65 +78,111 @@ def _batched_stage2(dims, fs, mesh=None):
 
     axes = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)
     fn = jax.vmap(one, in_axes=axes)
-    if mesh is None:
-        return jax.jit(fn)
-    sh1 = NamedSharding(mesh, P("dp"))
-    sh2 = NamedSharding(mesh, P("dp", None))
-    rep = NamedSharding(mesh, P())
-    return jax.jit(fn, in_shardings=(sh2, sh1, sh2, sh2, sh2, sh1, sh1,
-                                     sh2, sh2, sh2, rep, rep))
+    # sharding comes from the caller's device_put (inputs may originate on
+    # a different mesh, e.g. the time-sharded dp x sp front end)
+    return jax.jit(fn)
 
 
-def run_interludes_and_profiles(s1_host: dict, n: int, cfg: DecoderConfig,
+@functools.lru_cache(maxsize=8)
+def _batched_stage15(dims):
+    fn = jax.vmap(
+        lambda p1, p2, edges, ne, hb, cc: eng.stage15_core(
+            p1, p2, edges, ne, hb, cc, dims))
+    return jax.jit(fn)
+
+
+def run_interludes_and_profiles(s1: dict, n: int, cfg: DecoderConfig,
                                 fs: float, dims, mesh, dtype) -> list[DecodeResult]:
-    """Shared back half of batched decode: per-drop host interlude, then a
-    batched stage-2 profile pass for the drops that triggered."""
-    b = s1_host["r400"].shape[0]
+    """Shared back half of batched decode.
+
+    Only the 25 Hz power series and the compacted header windows cross to
+    the host; bits and edges stay device-resident between stages."""
+    r400_b = np.asarray(s1["r400"], dtype=np.float64)
+    r7500_b = np.asarray(s1["r7500"], dtype=np.float64)
+    b = r400_b.shape[0]
+
     results: list[DecodeResult] = []
-    prof_idx: list[int] = []
-    bits_b, nbits_b, mean_b, prof_b = [], [], [], []
-    tco_b, cco_b, zco_b = [], [], []
+    fp_b = np.zeros(b, np.int32)
+    mean_b = np.full(b, np.nan)
+    prof_b = np.full(b, -1, np.int64)
+    hb_b = np.zeros((b, 6), np.int32)
+    cc_b = np.zeros(b, np.int32)
     for i in range(b):
-        drop_out = {k: v[i] for k, v in s1_host.items()}
-        interlude = eng.host_interlude(drop_out, cfg, fs, dims, n)
-        if isinstance(interlude, DecodeResult):
-            results.append(interlude)
-            continue
-        result, bits_padded, n_bits, mean7500, profstart, live = interlude
+        result = DecodeResult(fs=fs if fs != int(fs) else int(fs), numpoints=n)
+        firstpulse, mean7500, profstart = eng.trigger_scalars(
+            r400_b[i], r7500_b[i], cfg, fs, dims.d_pcm)
+        if firstpulse >= 0:
+            result.status = 1
+            result.firstpulse400 = firstpulse
+            fp_b[i] = firstpulse
+            mean_b[i] = mean7500
+            prof_b[i] = profstart
+            hb_b[i] = eng.header_bounds(firstpulse, fs)
+            cc_b[i] = firstpulse + int(fs * 3.8)
         results.append(result)
-        if result.status >= 2:
+
+    stage15 = _batched_stage15(dims)
+    s15 = stage15(s1["s1"], s1["s2"], s1["edge_samples"], s1["n_edges"],
+                  jnp.asarray(hb_b), jnp.asarray(cc_b))
+    h2_b = np.asarray(s15["h2_bits"])
+    h3_b = np.asarray(s15["h3_bits"])
+    h2n_b = np.asarray(s15["h2_n"])
+    h3n_b = np.asarray(s15["h3_n"])
+
+    prof_idx: list[int] = []
+    tco_b, cco2_b, zco_b = [], [], []
+    for i in range(b):
+        if results[i].status < 1:
+            continue
+        live = eng.decode_headers_host(h2_b[i], int(h2n_b[i]), h3_b[i],
+                                       int(h3n_b[i]), cfg, results[i].metadata)
+        if prof_b[i] >= 0:
+            results[i].status = 2
+            results[i].profstartind = int(prof_b[i])
+            results[i].firstpointtime = prof_b[i] / fs
             prof_idx.append(i)
-            bits_b.append(bits_padded)
-            nbits_b.append(n_bits)
-            mean_b.append(mean7500)
-            prof_b.append(profstart)
             tco_b.append(live["tcoeff"])
-            cco_b.append(live["ccoeff"])
+            cco2_b.append(live["ccoeff"])
             zco_b.append(live["zcoeff"])
 
     if not prof_idx:
         return results
 
-    sel = np.asarray(prof_idx)
-    inputs = [
-        np.stack(bits_b),
-        np.asarray(nbits_b, np.int32),
-        s1_host["edge_samples"][sel].astype(np.int32),
-        np.asarray(s1_host["r400"][sel]),
-        np.asarray(s1_host["r7500"][sel]),
-        np.asarray(mean_b),
-        np.asarray(prof_b, np.int32),
-        np.asarray(tco_b),
-        np.asarray(cco_b),
-        np.asarray(zco_b),
-    ]
+    sel = np.asarray(prof_idx, np.int32)
+    n_sel = len(sel)
+    pad_m = mesh.shape["dp"] if mesh is not None else 1
+    n_pad = int(np.ceil(n_sel / pad_m)) * pad_m
+    sel_pad = np.concatenate([sel, np.repeat(sel[:1], n_pad - n_sel)])
+    sel_dev = jnp.asarray(sel_pad)
+
     if mesh is not None:
-        inputs, _ = pad_to_multiple(inputs, mesh.shape["dp"])
-    fdtypes = [None, None, None, None, None, dtype, None, dtype, dtype, dtype]
+        sh1 = NamedSharding(mesh, P("dp"))
+        sh2 = NamedSharding(mesh, P("dp", None))
+        rep = NamedSharding(mesh, P())
+    else:
+        sh1 = sh2 = rep = None
+
+    def take(a, sh):
+        taken = jnp.take(a, sel_dev, axis=0)
+        return jax.device_put(taken, sh) if sh is not None else taken
+
+    def put(a, sh):
+        return jax.device_put(a, sh) if sh is not None else jnp.asarray(a)
+
+    coeff_pad = lambda v: np.concatenate(  # noqa: E731
+        [np.asarray(v, np.float64), np.repeat([v[0]], n_pad - n_sel, axis=0)])
     stage2 = _batched_stage2(dims, fs, mesh)
-    out = stage2(*[jnp.asarray(a, dt) for a, dt in zip(inputs, fdtypes)],
-                 jnp.asarray(load_temp_lut(), dtype),
-                 jnp.asarray(eng.qc_limits(cfg), dtype))
+    out = stage2(
+        take(s15["bits"], sh2), take(s1["n_edges"], sh1) - 1,
+        take(s1["edge_samples"], sh2),
+        take(s1["r400"], sh2), take(s1["r7500"], sh2),
+        put(np.asarray(coeff_pad(mean_b[sel].reshape(-1, 1))[:, 0], np.float32), sh1),
+        put(np.asarray(coeff_pad(prof_b[sel].reshape(-1, 1))[:, 0], np.int32), sh1),
+        put(np.asarray(coeff_pad(tco_b), np.float32), sh2),
+        put(np.asarray(coeff_pad(cco2_b), np.float32), sh2),
+        put(np.asarray(coeff_pad(zco_b), np.float32), sh2),
+        put(np.asarray(load_temp_lut(), np.float32), rep),
+        put(eng.qc_limits(cfg), rep))
     out_host = jax.tree.map(np.asarray, out)
     for j, i in enumerate(prof_idx):
         eng.attach_profile(results[i], {k: v[j] for k, v in out_host.items()})
@@ -160,7 +206,6 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     stage1 = _batched_stage1(dims, fs, float(cfg.bitrate), cfg.bit_inset, 100, mesh)
     s1 = stage1(jnp.asarray(pcms, dtype), jnp.asarray(ptrig, dtype),
                 jnp.asarray(sos, dtype), jnp.asarray(btrig, dtype))
-    s1_host = jax.tree.map(np.asarray, s1)
 
-    results = run_interludes_and_profiles(s1_host, n, cfg, fs, dims, mesh, dtype)
+    results = run_interludes_and_profiles(s1, n, cfg, fs, dims, mesh, dtype)
     return results[:b_orig]

@@ -198,8 +198,7 @@ def decode_batch_timesharded(pcms, fs, config: DecoderConfig | None = None,
     n = pcms.shape[1]
 
     s1, dims = sharded_stage1(pcms, fs, cfg, mesh, dtype)
-    s1_host = jax.tree.map(np.asarray, s1)
 
     dp_mesh = Mesh(mesh.devices.reshape(-1)[: mesh.shape["dp"]], ("dp",))
-    results = run_interludes_and_profiles(s1_host, n, cfg, fs, dims, dp_mesh, dtype)
+    results = run_interludes_and_profiles(s1, n, cfg, fs, dims, dp_mesh, dtype)
     return results[:b_orig]

@@ -134,3 +134,15 @@ def test_fixed_mode_bandpass_decodes(default_drop_wav):
     assert res.status == 2
     assert res.metadata["serial_no"] == truth["serial_no"]
     assert len(res.time) > 100
+
+
+def test_long_file_byte_parity(tmp_path_factory, tmp_path):
+    # 120 s drop: ~45 bit-aligned chunk advances after demod starts, so the
+    # upstream buffer-index drift and chunk-grid semantics accumulate;
+    # byte parity here means the chunk state machine is truly exact.
+    spec = simulator.SimSpec(duration=120.0, profile_start=33.0, seed=21)
+    pcm, _ = simulator.synthesize(spec)
+    wav = str(tmp_path_factory.mktemp("wav120") / "drop120.wav")
+    simulator.write_wav(wav, pcm, spec.fs)
+    out = _assert_byte_parity(wav, tmp_path, label="long")
+    assert out.count(b"\n") > 1500
