@@ -112,7 +112,7 @@ def sos_response_on_device(sos_arr, nfft: int):
 
 def stage1_core(pcm, power_trig, sos_arr, bit_trig,
                 dims: EngineDims, fs: float, bitrate: float, bit_inset: int,
-                edge_pad: int):
+                edge_pad: int, use_pallas: bool = False):
     # integer PCM is conditioned on device (mean-removal + peak
     # normalization) — shipping int16 halves the host->device transfer
     if jnp.issubdtype(pcm.dtype, jnp.integer):
@@ -120,13 +120,24 @@ def stage1_core(pcm, power_trig, sos_arr, bit_trig,
         x = (xf - jnp.mean(xf)) / jnp.max(jnp.abs(xf))
     else:
         x = pcm
-    # A. tone powers on the uniform whole-file grid, smoothed, as ratios
-    powers = goertzel.framed_tone_power_tiled(x, dims.n_power, dims.d_pcm, power_trig)
-    p400 = iir.boxsmooth_lag(powers[:, 0], 5)
-    p7500 = iir.boxsmooth_lag(powers[:, 1], 5)
-    pdead = iir.boxsmooth_lag(powers[:, 2], 5)
-    r400 = jnp.log10(p400 / pdead)
-    r7500 = jnp.log10(p7500 / pdead)
+    # A. tone powers on the uniform whole-file grid, smoothed, as ratios.
+    # On TPU the fused Pallas kernel does DFT + smoothing + log-ratio in
+    # one pipelined HBM pass; `power_trig` then carries the kernel's
+    # (n_seg, stride, 8) segment layout instead of the (window, 2F) GEMM
+    # matrix.
+    if use_pallas:
+        from ..ops.pallas import tonepower
+
+        r400, r7500 = tonepower.fused_tone_ratios(
+            x.astype(jnp.float32), power_trig, dims.n_power, dims.d_pcm)
+    else:
+        powers = goertzel.framed_tone_power_tiled(
+            x, dims.n_power, dims.d_pcm, power_trig)
+        p400 = iir.boxsmooth_lag(powers[:, 0], 5)
+        p7500 = iir.boxsmooth_lag(powers[:, 1], 5)
+        pdead = iir.boxsmooth_lag(powers[:, 2], 5)
+        r400 = jnp.log10(p400 / pdead)
+        r7500 = jnp.log10(p7500 / pdead)
 
     # B. demodulation front end: filter -> crossings -> greedy edge chain.
     # Frequency-domain filtering with the SOS response computed on device
@@ -159,8 +170,17 @@ def stage1_core(pcm, power_trig, sos_arr, bit_trig,
 
 
 _stage1 = functools.partial(
-    jax.jit, static_argnames=("dims", "fs", "bitrate", "bit_inset", "edge_pad")
+    jax.jit, static_argnames=("dims", "fs", "bitrate", "bit_inset", "edge_pad",
+                              "use_pallas")
 )(stage1_core)
+
+
+def _use_pallas_default() -> bool:
+    """Default the fused Pallas tone kernel on when running on real TPU."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def _apply_sos(sos_arr, x):
@@ -457,9 +477,15 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
         dtype = jnp.float32
     else:
         x = jnp.asarray(pcm, dtype=dtype)
+    use_pallas = _use_pallas_default() and dtype == jnp.float32
+    if use_pallas:
+        from ..ops.pallas import tonepower
+
+        power_trig = tonepower.trig_segments(
+            dims.n_power, dims.d_pcm, [400.0, 7500.0, cfg.dead_freq], fs)
     s1 = _stage1(x, jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
                  jnp.asarray(bit_trig, dtype), dims, fs, float(cfg.bitrate),
-                 cfg.bit_inset, 100)
+                 cfg.bit_inset, 100, use_pallas=use_pallas)
 
     result = DecodeResult(fs=fs if fs != int(fs) else int(fs), numpoints=n)
     r400 = np.asarray(s1["r400"], dtype=np.float64)
