@@ -203,6 +203,9 @@ class SimSpec:
     serial_hex: str = "00123456"
     max_depth_hex: str = "1000"
     probe_code_hex: str = "a000"
+    # relative transmitter frequency error (crystal drift): all probe
+    # tones (mark/space FSK, pulses, 7500 Hz) scale by (1 + freq_error)
+    freq_error: float = 0.0
     zcoeff: tuple = (0.72, 2.76124, -0.000238007, 0.0)
     tcoeff: tuple = (-0.053328, 0.994372, 0.0, 0.0)
     ccoeff: tuple = (-0.0622192, 1.04584, 0.0, 0.0)
@@ -253,9 +256,12 @@ def synthesize(spec: SimSpec | None = None,
     tx_bits = np.concatenate([np.ones(n_pulse_bits, dtype=np.int64),
                               header_frames.ravel()])
 
+    scale = 1.0 + spec.freq_error
     for k in range(3):
         start = spec.pulse_start + k * spec.cycle_len
-        wave = fsk_waveform(tx_bits, spec.fs) * spec.fsk_amp
+        wave = fsk_waveform(tx_bits, spec.fs, f_mark=400.0 * scale,
+                            f_space=800.0 * scale,
+                            bitrate=BITRATE * scale) * spec.fsk_amp
         s = int(round(start * spec.fs))
         e = min(s + len(wave), nsamp)
         pcm[s:e] += wave[: e - s]
@@ -270,11 +276,13 @@ def synthesize(spec: SimSpec | None = None,
     prof_frames = np.stack([encode_profile_frame(t, c) for t, c in zip(tints, cints)])
     prof_bits = prof_frames.ravel()
     s = int(round(spec.profile_start * spec.fs))
-    wave = fsk_waveform(prof_bits, spec.fs) * spec.fsk_amp
+    wave = fsk_waveform(prof_bits, spec.fs, f_mark=400.0 * scale,
+                        f_space=800.0 * scale,
+                        bitrate=BITRATE * scale) * spec.fsk_amp
     e = min(s + len(wave), nsamp)
     pcm[s:e] += wave[: e - s]
     t7500 = np.arange(nsamp - s) / spec.fs
-    pcm[s:] += spec.tone7500_amp * np.sin(2 * np.pi * 7500.0 * t7500)
+    pcm[s:] += spec.tone7500_amp * np.sin(2 * np.pi * 7500.0 * scale * t7500)
 
     truth = {
         "spec": spec,

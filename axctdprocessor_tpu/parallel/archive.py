@@ -24,12 +24,11 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from ..models.parity_engine import DecodeResult
-from ..utils.config import DecoderConfig, resolve_settings
+from ..utils.config import resolve_settings
 from ..utils.profiling import StageTimer
 from ..utils.report import write_report
 from ..utils.wavio import read_wav
-from .batch import decode_batch, pad_batch
+from .batch import decode_batch
 
 BUCKET_SECONDS = 60  # pad each drop up to a whole minute bucket
 

@@ -41,7 +41,6 @@ from ..models.parity_engine import DecodeResult
 from ..ops import chain as chain_ops
 from ..ops import goertzel, iir
 from ..utils.config import DecoderConfig
-from ..utils.lut import load_temp_lut
 
 WARMUP = 2048  # IIR warm-up halo (filter transient < ~1k samples at 44.1k)
 BIG = np.iinfo(np.int32).max // 2

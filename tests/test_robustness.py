@@ -60,3 +60,20 @@ def test_timeout_dead_in_strict_mode():
     res = decode_waveform(pcm, spec.fs, config=cfg)
     assert res.status == 1
     assert res.profstartind == -1
+
+
+@pytest.mark.parametrize("freq_error", [-0.003, 0.003])
+def test_transmitter_frequency_drift(freq_error):
+    """Crystal drift of +/-0.3% (baud + tones) must still decode: the
+    zero-crossing tracker follows the actual bit cadence."""
+    spec = simulator.SimSpec(duration=42.0, profile_start=33.0, seed=8,
+                             freq_error=freq_error)
+    pcm, truth = simulator.synthesize(spec)
+    pcm = ((pcm - np.mean(pcm)) / np.max(np.abs(pcm))).astype(np.float32)
+    res = decode_waveform_tpu(pcm, spec.fs)
+    assert res.status == 2
+    assert res.metadata["serial_no"] == truth["serial_no"]
+    assert len(res.time) > 150
+    truth_set = set(truth["frame_hex"])
+    in_truth = sum(1 for h in res.hexframes if h in truth_set)
+    assert in_truth / max(len(res.hexframes), 1) > 0.95
