@@ -89,6 +89,13 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
 
     def load_batch(paths):
         with timer.stage("io.read_wavs"):
+            # raw int16 ships at half the bytes and conditions on device,
+            # but a batch must be dtype-uniform — all raw or all float
+            from ..utils.wavio import read_wav_raw16
+
+            raws = [read_wav_raw16(p) for p in paths]
+            if all(r is not None for r in raws):
+                return [(r, p) for r, p in zip(raws, paths)]
             return [(_read_and_condition(p), p) for p in paths]
 
     pending = executor.submit(load_batch, batches[0]) if batches else None
@@ -100,7 +107,7 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
         fs = loaded[0][0][1]
         bucket_n = int(np.ceil(max(len(x[0][0]) for x in loaded)
                                / (BUCKET_SECONDS * fs))) * BUCKET_SECONDS * int(fs)
-        pcms = np.zeros((len(loaded), bucket_n), dtype=np.float32)
+        pcms = np.zeros((len(loaded), bucket_n), dtype=loaded[0][0][0].dtype)
         for i, ((pcm, _), _) in enumerate(loaded):
             pcms[i, : len(pcm)] = pcm[:bucket_n]
 

@@ -41,15 +41,20 @@ def pad_to_multiple(batch_arrays: list[np.ndarray], m: int):
     return out, b
 
 
-def pad_batch(pcms: list[np.ndarray]) -> np.ndarray:
+def pad_batch(pcms: list[np.ndarray], dtype=None) -> np.ndarray:
     """Stack ragged waveforms into a zero-padded (B, N_max) batch.
 
     Trailing zeros are silent (constant signal -> no zero crossings after
     the last real sample beyond one transition; frames there can't pass
-    CRC + signal gates), so padding is decode-neutral.
+    CRC + signal gates), so padding is decode-neutral.  int16 batches are
+    supported (conditioned on device, half the transfer bytes).
     """
     n_max = max(len(p) for p in pcms)
-    out = np.zeros((len(pcms), n_max), dtype=np.float32)
+    if dtype is None:
+        dtype = np.int16 if all(
+            np.issubdtype(np.asarray(p).dtype, np.integer) for p in pcms
+        ) else np.float32
+    out = np.zeros((len(pcms), n_max), dtype=dtype)
     for i, p in enumerate(pcms):
         out[i, : len(p)] = p
     return out
@@ -204,7 +209,9 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)
 
     stage1 = _batched_stage1(dims, fs, float(cfg.bitrate), cfg.bit_inset, 100, mesh)
-    s1 = stage1(jnp.asarray(pcms, dtype), jnp.asarray(ptrig, dtype),
+    x = jnp.asarray(pcms) if np.issubdtype(pcms.dtype, np.integer) \
+        else jnp.asarray(pcms, dtype)
+    s1 = stage1(x, jnp.asarray(ptrig, dtype),
                 jnp.asarray(sos, dtype), jnp.asarray(btrig, dtype))
 
     results = run_interludes_and_profiles(s1, n, cfg, fs, dims, mesh, dtype)

@@ -56,3 +56,20 @@ def test_cli_corpus_mode(corpus, tmp_path):
                    "--batch-size", "2", "--quiet"])
     assert rc == 0
     assert len(os.listdir(out)) == 4  # 3 reports + manifest
+
+
+def test_stage_timer():
+    import time as _t
+
+    from axctdprocessor_tpu.utils.profiling import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        _t.sleep(0.01)
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    d = t.as_dict()
+    assert d["a"] >= 0.01 and t.counts["a"] == 2
+    assert "a" in t.report() and "b" in t.report()

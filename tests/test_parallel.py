@@ -75,3 +75,19 @@ def test_timeshard_matches_single_device(small_batch):
     assert res.firstpulse400 == single.firstpulse400
     a, b = set(res.hexframes), set(single.hexframes)
     assert len(a & b) / max(len(a | b), 1) > 0.95
+
+
+def test_int16_batch_matches_float(small_batch, default_drop_wav):
+    """int16 batches (device conditioning) decode identically to float."""
+    from scipy.io import wavfile
+
+    wav, truth = default_drop_wav
+    _, snd = wavfile.read(wav)
+    raw = pbatch.pad_batch([snd, snd])
+    assert raw.dtype == np.int16
+    res_raw = pbatch.decode_batch(raw, 44100.0)
+    pcm = (snd.astype(np.float64) - np.mean(snd)) / np.max(np.abs(snd))
+    res_f32 = pbatch.decode_batch(pcm.astype(np.float32)[None], 44100.0)
+    assert res_raw[0].metadata["serial_no"] == truth["serial_no"]
+    assert res_raw[0].hexframes == res_f32[0].hexframes
+    assert res_raw[0].hexframes == res_raw[1].hexframes

@@ -146,3 +146,21 @@ def test_long_file_byte_parity(tmp_path_factory, tmp_path):
     simulator.write_wav(wav, pcm, spec.fs)
     out = _assert_byte_parity(wav, tmp_path, label="long")
     assert out.count(b"\n") > 1500
+
+
+def test_cubic_coefficients_parity(tmp_path_factory, tmp_path):
+    # full cubic calibration sets (all four terms nonzero, mixed signs and
+    # exponents) exercise every coefficient frame and the hex decode
+    spec = simulator.SimSpec(
+        duration=45.0, profile_start=33.0, seed=31,
+        serial_hex="a1b2c3d4", max_depth_hex="07d0", probe_code_hex="a000",
+        zcoeff=(1.2345678e-2, 2.5, -3.1e-4, 7.77e-8),
+        tcoeff=(-0.5, 1.0203, 4.4e-5, -9.9e-9),
+        ccoeff=(0.25, 0.98765, -1.1e-6, 2.2e-10),
+    )
+    pcm, truth = simulator.synthesize(spec)
+    wav = str(tmp_path_factory.mktemp("wavcubic") / "cubic.wav")
+    simulator.write_wav(wav, pcm, spec.fs)
+    out = _assert_byte_parity(wav, tmp_path, label="cubic")
+    assert b"Probe Serial: a1b2c3d4" in out
+    assert b"(default)" not in out  # every coefficient set decoded
