@@ -54,6 +54,13 @@ class AXCTDStreamDecoder:
             raise RuntimeError("decoder already finalized")
         return self._engine.feed(np.asarray(samples, dtype=np.float64))
 
+    def abort(self) -> DecodeResult:
+        """Stop immediately (the upstream ``keepgoing`` kill-flag analog,
+        AXCTDprocessor.py:119): no further processing, current results
+        kept.  The decoder refuses further feeds."""
+        self._finalized = True
+        return self._engine._snapshot()
+
     def finalize(self) -> DecodeResult:
         """End of stream: flush remaining samples with end-of-file semantics."""
         self._finalized = True

@@ -87,22 +87,44 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
 
     executor = ThreadPoolExecutor(max_workers=2)
 
+    def load_one(path):
+        try:
+            return _read_and_condition(path)
+        except Exception as e:  # unreadable/corrupt file: isolate, don't abort
+            return e
+
     def load_batch(paths):
         with timer.stage("io.read_wavs"):
             # raw int16 ships at half the bytes and conditions on device,
             # but a batch must be dtype-uniform — all raw or all float
             from ..utils.wavio import read_wav_raw16
 
-            raws = [read_wav_raw16(p) for p in paths]
+            try:
+                raws = [read_wav_raw16(p) for p in paths]
+            except Exception:
+                raws = [None]
             if all(r is not None for r in raws):
                 return [(r, p) for r, p in zip(raws, paths)]
-            return [(_read_and_condition(p), p) for p in paths]
+            return [(load_one(p), p) for p in paths]
 
     pending = executor.submit(load_batch, batches[0]) if batches else None
     for bi, paths in enumerate(batches):
         loaded = pending.result()
         pending = (executor.submit(load_batch, batches[bi + 1])
                    if bi + 1 < len(batches) else None)
+
+        # quarantine unreadable files (failure isolation: a corrupt drop
+        # must not abort a 1000-drop job)
+        bad = [(d, p) for d, p in loaded if isinstance(d, Exception)]
+        for err, path in bad:
+            manifest["files"][os.path.basename(path)] = {
+                "status": "failed", "error": repr(err),
+                "finished_at": time.time(),
+            }
+        loaded = [(d, p) for d, p in loaded if not isinstance(d, Exception)]
+        if not loaded:
+            _save_manifest(out_dir, manifest)
+            continue
 
         fs = loaded[0][0][1]
         bucket_n = int(np.ceil(max(len(x[0][0]) for x in loaded)

@@ -73,3 +73,13 @@ def test_stage_timer():
     d = t.as_dict()
     assert d["a"] >= 0.01 and t.counts["a"] == 2
     assert "a" in t.report() and "b" in t.report()
+
+
+def test_corrupt_file_quarantined(corpus, tmp_path):
+    bad = str(tmp_path / "corrupt.wav")
+    open(bad, "wb").write(b"RIFFgarbage_that_is_not_a_wav")
+    out = str(tmp_path / "out3")
+    manifest = reprocess_corpus([corpus[0], bad], out, batch_size=2)
+    names = {os.path.basename(corpus[0]): "done", "corrupt.wav": "failed"}
+    for name, status in names.items():
+        assert manifest["files"][name]["status"] == status, name
