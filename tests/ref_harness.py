@@ -42,6 +42,10 @@ def _install_shims() -> None:
 
 def load_reference_modules():
     """Import the reference modules (AXCTDprocessor, demodulate, parse, CLI)."""
+    if not os.path.isdir(REFERENCE_DIR):
+        import pytest
+
+        pytest.skip("upstream reference not mounted at /root/reference")
     _install_shims()
     if REFERENCE_DIR not in sys.path:
         sys.path.insert(0, REFERENCE_DIR)
