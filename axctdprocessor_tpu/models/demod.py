@@ -39,10 +39,12 @@ class ChunkDemodResult:
 
 
 def design_filter(fs: float, use_bandpass: bool):
-    """Order-6 Butterworth SOS: 100-1200 Hz bandpass or 1200 Hz lowpass."""
-    if use_bandpass:
-        return signal.butter(6, [100, 1200], btype="bandpass", fs=fs, output="sos")
-    return signal.butter(6, 1200, btype="lowpass", fs=fs, output="sos")
+    """Order-6 Butterworth SOS: 100-1200 Hz bandpass or 1200 Hz lowpass.
+
+    Single source of truth shared with the TPU engine (ops.iir)."""
+    from ..ops.iir import design_sos
+
+    return design_sos(fs, use_bandpass)
 
 
 def make_bit_trig(fs: float, f1: float, f2: float, npcm: int):

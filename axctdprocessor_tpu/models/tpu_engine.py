@@ -78,9 +78,13 @@ class EngineDims:
         d_pcm = int(round(fs / 25))
         n_win = max(int(math.ceil((n - n_power) / d_pcm)), 1)
         max_edges = int(n * bitrate / fs * 1.25) + 64
+        # crossing capacity must be duration-based, not sample-based: the
+        # filtered band reaches ~1300 Hz (<=2600 crossings/s), so n//8
+        # alone would silently truncate at sample rates below ~13 kHz
+        max_crossings = max(n // 8, int(n / fs * 4000) + 1024)
         return cls(
             n=n, n_power=n_power, d_pcm=d_pcm, n_win=n_win, npcm=npcm,
-            max_crossings=max(n // 8, 1024),
+            max_crossings=max_crossings,
             max_edges=max_edges,
             max_frames=max_edges // 32 + 8,
         )
@@ -112,12 +116,21 @@ def sos_response_on_device(sos_arr, nfft: int):
 
 def stage1_core(pcm, power_trig, sos_arr, bit_trig,
                 dims: EngineDims, fs: float, bitrate: float, bit_inset: int,
-                edge_pad: int, use_pallas: bool = False):
+                edge_pad: int, use_pallas: bool = False, n_valid=None):
     # integer PCM is conditioned on device (mean-removal + peak
-    # normalization) — shipping int16 halves the host->device transfer
+    # normalization) — shipping int16 halves the host->device transfer.
+    # `n_valid` (true length of a zero-padded row in a batch) keeps the
+    # mean exact: zeros contribute nothing to the sum or the peak, but
+    # averaging over the padded length would dilute the DC estimate and
+    # shift every zero crossing.
     if jnp.issubdtype(pcm.dtype, jnp.integer):
         xf = pcm.astype(jnp.float32)
-        x = (xf - jnp.mean(xf)) / jnp.max(jnp.abs(xf))
+        denom = jnp.float32(dims.n) if n_valid is None else n_valid.astype(jnp.float32)
+        mean = jnp.sum(xf) / denom
+        peak = jnp.maximum(jnp.max(jnp.abs(xf)), 1.0)
+        x = (xf - mean) / peak
+        if n_valid is not None:
+            x = jnp.where(jnp.arange(dims.n) < n_valid, x, 0.0)
     else:
         x = pcm
     # A. tone powers on the uniform whole-file grid, smoothed, as ratios.
@@ -181,14 +194,6 @@ def _use_pallas_default() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
-
-
-def _apply_sos(sos_arr, x):
-    y = x
-    for sec in range(sos_arr.shape[0]):
-        b0, b1, b2, _, a1, a2 = (sos_arr[sec, j] for j in range(6))
-        y = iir._biquad_parallel(y, (b0, b1, b2, a1, a2))
-    return y
 
 
 # ---------------------------------------------------------------------------

@@ -78,11 +78,13 @@ def _biquad_parallel(x, coeffs):
 
 
 def sosfilt(sos, x: jnp.ndarray) -> jnp.ndarray:
-    """Parallel SOS cascade (zero initial state), TPU-friendly."""
-    sos = np.asarray(sos)
+    """Parallel SOS cascade (zero initial state), TPU-friendly.
+
+    Accepts host coefficients or a traced (n_sections, 6) array."""
+    sos = jnp.asarray(sos, dtype=x.dtype)
     y = x
     for sec in range(sos.shape[0]):
-        b0, b1, b2, _, a1, a2 = (float(v) for v in sos[sec])
+        b0, b1, b2, _, a1, a2 = (sos[sec, j] for j in range(6))
         y = _biquad_parallel(y, (b0, b1, b2, a1, a2))
     return y
 
@@ -126,8 +128,12 @@ def sosfilt_fft(sos, x: jnp.ndarray, pad: int = 4096) -> jnp.ndarray:
     n = x.shape[0]
     nfft = next_pow2(n + pad)
     h = sos_freq_response(sos, nfft)
-    cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
-    spec = jnp.fft.rfft(x, nfft) * jnp.asarray(h, dtype=cdtype)
+    # transfer the response as float planes and combine on device:
+    # complex host->device transfers are unimplemented on the axon relay
+    # and wedge the process (see CLAUDE.md)
+    hr = jnp.asarray(np.ascontiguousarray(h.real), dtype=x.dtype)
+    hi = jnp.asarray(np.ascontiguousarray(h.imag), dtype=x.dtype)
+    spec = jnp.fft.rfft(x, nfft) * jax.lax.complex(hr, hi)
     return jnp.fft.irfft(spec, nfft)[:n].astype(x.dtype)
 
 

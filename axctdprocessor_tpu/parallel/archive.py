@@ -76,14 +76,46 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
             if manifest["files"].get(os.path.basename(p), {}).get("status")
             != "done"]
 
-    # bucket by padded duration so compilations are shared
+    # group by sample rate (a batch must decode at one fs), then bucket by
+    # padded duration so compilations are shared
+    _fs_cache: dict[str, int] = {}
+
+    def fs_of(path):
+        if path in _fs_cache:
+            return _fs_cache[path]
+        from ..utils.native import wav_info
+
+        info = wav_info(path)
+        if info is not None:
+            fs = info[0]
+        else:
+            try:
+                from scipy.io import wavfile
+
+                fs = int(wavfile.read(path, mmap=True)[0])
+            except Exception:
+                fs = -1  # unreadable; quarantined at load time
+        _fs_cache[path] = fs
+        return fs
+
     def bucket_of(path):
         nbytes = os.path.getsize(path)
         seconds = nbytes / (2 * 44100)  # 16-bit mono estimate; only a hint
         return int(np.ceil(max(seconds, 1) / BUCKET_SECONDS))
 
-    todo.sort(key=bucket_of)
-    batches = [todo[i : i + batch_size] for i in range(0, len(todo), batch_size)]
+    todo.sort(key=lambda p: (fs_of(p), bucket_of(p)))
+    batches = []
+    current: list[str] = []
+    current_fs = None
+    for p in todo:
+        f = fs_of(p)
+        if current and (f != current_fs or len(current) >= batch_size):
+            batches.append(current)
+            current = []
+        current_fs = f
+        current.append(p)
+    if current:
+        batches.append(current)
 
     executor = ThreadPoolExecutor(max_workers=2)
 
@@ -134,7 +166,9 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
             pcms[i, : len(pcm)] = pcm[:bucket_n]
 
         with timer.stage("device.decode_batch"):
-            results = decode_batch(pcms, fs, config=cfg, mesh=mesh)
+            lengths = [min(len(x[0][0]), bucket_n) for x in loaded]
+            results = decode_batch(pcms, fs, config=cfg, mesh=mesh,
+                                   lengths=lengths)
 
         with timer.stage("io.write_reports"):
             for ((pcm, wav_fs), path), res in zip(loaded, results):

@@ -51,9 +51,11 @@ def pad_batch(pcms: list[np.ndarray], dtype=None) -> np.ndarray:
     """
     n_max = max(len(p) for p in pcms)
     if dtype is None:
-        dtype = np.int16 if all(
-            np.issubdtype(np.asarray(p).dtype, np.integer) for p in pcms
-        ) else np.float32
+        if all(np.issubdtype(np.asarray(p).dtype, np.integer) for p in pcms):
+            # widest input integer type — int32 samples must not truncate
+            dtype = np.result_type(*[np.asarray(p).dtype for p in pcms])
+        else:
+            dtype = np.float32
     out = np.zeros((len(pcms), n_max), dtype=dtype)
     for i, p in enumerate(pcms):
         out[i, : len(p)] = p
@@ -62,16 +64,18 @@ def pad_batch(pcms: list[np.ndarray], dtype=None) -> np.ndarray:
 
 @functools.lru_cache(maxsize=8)
 def _batched_stage1(dims, fs, bitrate, bit_inset, edge_pad, mesh=None):
-    def one(pcm, ptrig, sos, btrig):
+    def one(pcm, n_valid, ptrig, sos, btrig):
         return eng.stage1_core(pcm, ptrig, sos, btrig, dims,
-                               fs, bitrate, bit_inset, edge_pad)
+                               fs, bitrate, bit_inset, edge_pad,
+                               n_valid=n_valid)
 
-    fn = jax.vmap(one, in_axes=(0, None, None, None))
+    fn = jax.vmap(one, in_axes=(0, 0, None, None, None))
     if mesh is None:
         return jax.jit(fn)
     sh = NamedSharding(mesh, P("dp", None))
+    sh1 = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
-    return jax.jit(fn, in_shardings=(sh, rep, rep, rep))
+    return jax.jit(fn, in_shardings=(sh, sh1, rep, rep, rep))
 
 
 @functools.lru_cache(maxsize=8)
@@ -195,14 +199,22 @@ def run_interludes_and_profiles(s1: dict, n: int, cfg: DecoderConfig,
 
 
 def decode_batch(pcms, fs, config: DecoderConfig | None = None,
-                 mesh: Mesh | None = None, dtype=jnp.float32) -> list[DecodeResult]:
-    """Decode a (B, N) batch of conditioned waveforms; returns B results."""
+                 mesh: Mesh | None = None, dtype=jnp.float32,
+                 lengths=None) -> list[DecodeResult]:
+    """Decode a (B, N) batch of waveforms; returns B results.
+
+    Integer batches are conditioned on device; for zero-padded ragged
+    batches pass `lengths` (true samples per row) so DC removal averages
+    over real samples only."""
     cfg = config or DecoderConfig()
     fs = float(fs)
     pcms = np.asarray(pcms)
     b_orig = pcms.shape[0]
+    if lengths is None:
+        lengths = np.full(b_orig, pcms.shape[1], np.int32)
+    lengths = np.asarray(lengths, np.int32)
     if mesh is not None:
-        (pcms,), _ = pad_to_multiple([pcms], mesh.shape["dp"])
+        (pcms, lengths), _ = pad_to_multiple([pcms, lengths], mesh.shape["dp"])
     b, n = pcms.shape
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
@@ -211,7 +223,7 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     stage1 = _batched_stage1(dims, fs, float(cfg.bitrate), cfg.bit_inset, 100, mesh)
     x = jnp.asarray(pcms) if np.issubdtype(pcms.dtype, np.integer) \
         else jnp.asarray(pcms, dtype)
-    s1 = stage1(x, jnp.asarray(ptrig, dtype),
+    s1 = stage1(x, jnp.asarray(lengths), jnp.asarray(ptrig, dtype),
                 jnp.asarray(sos, dtype), jnp.asarray(btrig, dtype))
 
     results = run_interludes_and_profiles(s1, n, cfg, fs, dims, mesh, dtype)

@@ -97,7 +97,7 @@ def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int
         left_raw = lax.ppermute(x_blk[:, -WARMUP:], "sp", fwd)
         left_raw = jnp.where(is_first, 0.0, left_raw)
         x_warm = jnp.concatenate([left_raw, x_blk], axis=1)
-        filt = jax.vmap(lambda r: eng._apply_sos(sos_arr, r))(x_warm)[:, WARMUP:]
+        filt = jax.vmap(lambda r: iir.sosfilt(sos_arr, r))(x_warm)[:, WARMUP:]
 
         # --- crossings + per-crossing tone probes ------------------------
         right_f = lax.ppermute(filt[:, :cross_halo], "sp", bwd)
@@ -187,7 +187,16 @@ def decode_batch_timesharded(pcms, fs, config: DecoderConfig | None = None,
 
     cfg = config or DecoderConfig()
     fs = float(fs)
-    pcms = np.asarray(pcms, dtype=np.float32)
+    pcms = np.asarray(pcms)
+    if np.issubdtype(pcms.dtype, np.integer):
+        # condition on host before padding (the sharded front end has no
+        # integer branch, and padding would skew the DC estimate)
+        xf = pcms.astype(np.float64)
+        mean = xf.mean(axis=1, keepdims=True)
+        peak = np.maximum(np.abs(xf).max(axis=1, keepdims=True), 1.0)
+        pcms = ((xf - mean) / peak).astype(np.float32)
+    else:
+        pcms = pcms.astype(np.float32)
     pcms = pad_for_mesh(pcms, fs, mesh.shape["sp"])
     b_orig = pcms.shape[0]
     if b_orig % mesh.shape["dp"]:

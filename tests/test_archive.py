@@ -83,3 +83,21 @@ def test_corrupt_file_quarantined(corpus, tmp_path):
     names = {os.path.basename(corpus[0]): "done", "corrupt.wav": "failed"}
     for name, status in names.items():
         assert manifest["files"][name]["status"] == status, name
+
+
+def test_mixed_sample_rates(corpus, tmp_path):
+    """Files with different fs must never share a decode batch."""
+    from axctdprocessor_tpu.models import simulator as sim
+
+    spec = sim.SimSpec(fs=22050, duration=40.0, profile_start=33.0, seed=60)
+    pcm, truth = sim.synthesize(spec)
+    p22 = str(tmp_path / "drop22k.wav")
+    sim.write_wav(p22, pcm, spec.fs)
+    out = str(tmp_path / "out_mixed")
+    manifest = reprocess_corpus([corpus[0], p22, corpus[1]], out, batch_size=3)
+    assert all(v["status"] == "done" for v in manifest["files"].values())
+    for name in ("drop0.txt", "drop22k.txt"):
+        text = open(os.path.join(out, name)).read()
+        assert "Probe Serial: 00123456" in text, name
+    assert "Sampling frequency (fs): 22050 Hz" in open(
+        os.path.join(out, "drop22k.txt")).read()

@@ -91,3 +91,20 @@ def test_int16_batch_matches_float(small_batch, default_drop_wav):
     assert res_raw[0].metadata["serial_no"] == truth["serial_no"]
     assert res_raw[0].hexframes == res_f32[0].hexframes
     assert res_raw[0].hexframes == res_raw[1].hexframes
+
+
+def test_padded_int16_batch_conditioning(default_drop_wav):
+    """Zero-padding + a DC offset must not skew device conditioning:
+    a padded int16 row with `lengths` decodes like the unpadded file."""
+    from scipy.io import wavfile
+
+    wav, truth = default_drop_wav
+    _, snd = wavfile.read(wav)
+    snd = (snd + 500).astype(np.int16)  # inject a DC offset
+    ref = pbatch.decode_batch(snd[None, :], 44100.0)[0]
+    padded = np.zeros((1, len(snd) * 2), np.int16)
+    padded[0, : len(snd)] = snd
+    res = pbatch.decode_batch(padded, 44100.0, lengths=[len(snd)])[0]
+    assert res.metadata["serial_no"] == truth["serial_no"]
+    assert res.hexframes == ref.hexframes
+    np.testing.assert_array_equal(res.temperature, ref.temperature)
