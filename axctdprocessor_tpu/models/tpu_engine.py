@@ -166,6 +166,10 @@ def stage1_core(pcm, power_trig, sos_arr, bit_trig,
     sgn = jnp.where(filtered >= 0, 1, -1)
     is_cross = jnp.concatenate([sgn[:-1] != sgn[1:], jnp.zeros((1,), bool)])
     is_cross &= jnp.arange(dims.n) >= edge_pad
+    if n_valid is not None:
+        # no bit edges in the zero-padded tail (the filter's ring-down
+        # there would otherwise demodulate into garbage frames)
+        is_cross &= jnp.arange(dims.n) < n_valid - 1
     big = np.iinfo(np.int32).max // 2
     crossings, = jnp.where(is_cross, size=dims.max_crossings, fill_value=big)
     crossings = crossings.astype(jnp.int32)
@@ -458,8 +462,11 @@ def decode_headers_host(h2, h2_n, h3, h3_n, cfg: DecoderConfig, metadata: dict):
     return live
 
 
+BUCKET_SECONDS = 15  # decode-length granularity: one compilation per bucket
+
+
 def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
-                        dtype=jnp.float32) -> DecodeResult:
+                        dtype=jnp.float32, pad_to_bucket: bool = True) -> DecodeResult:
     """Decode a conditioned (or raw-integer) waveform with the TPU engine.
 
     Device/host split: stage 1 (everything expensive) -> ~120 KB of power
@@ -467,17 +474,29 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     calibration + header-window compaction, on device) -> ~12 KB of
     header bits to host -> metadata decode -> stage 2 (profile, on
     device, with bits/edges never leaving the device) -> profile rows.
+
+    Waveforms are zero-padded up to 15 s length buckets so arbitrary file
+    lengths share compilations (remote compiles cost minutes); the true
+    length is carried as ``n_valid`` so device conditioning stays exact,
+    and padding is decode-neutral (no crossings, NaN power ratios).
     """
     cfg = config or DecoderConfig()
     fs = float(fs)
+    pcm = np.asarray(pcm)
     n = int(len(pcm))
+    if pad_to_bucket:
+        unit = int(BUCKET_SECONDS * fs)
+        n_padded = max(int(np.ceil(n / unit)) * unit, unit)
+        if n_padded != n:
+            pcm = np.concatenate([pcm, np.zeros(n_padded - n, pcm.dtype)])
+    n_padded = len(pcm)
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
-    dims = EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
+    dims = EngineDims.for_waveform(n_padded, fs, cfg.bitrate, npcm)
     power_trig, bit_trig, sos = engine_tables(cfg, fs, dims)
 
     # integer PCM ships as-is (conditioned on device); floats take the
     # requested compute dtype
-    if np.issubdtype(np.asarray(pcm).dtype, np.integer):
+    if np.issubdtype(pcm.dtype, np.integer):
         x = jnp.asarray(pcm)
         dtype = jnp.float32
     else:
@@ -490,7 +509,8 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
             dims.n_power, dims.d_pcm, [400.0, 7500.0, cfg.dead_freq], fs)
     s1 = _stage1(x, jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
                  jnp.asarray(bit_trig, dtype), dims, fs, float(cfg.bitrate),
-                 cfg.bit_inset, 100, use_pallas=use_pallas)
+                 cfg.bit_inset, 100, use_pallas=use_pallas,
+                 n_valid=jnp.asarray(n, jnp.int32))
 
     result = DecodeResult(fs=fs if fs != int(fs) else int(fs), numpoints=n)
     r400 = np.asarray(s1["r400"], dtype=np.float64)

@@ -131,3 +131,27 @@ def test_int16_device_conditioning(default_drop_wav):
     assert res_raw.metadata["serial_no"] == truth["serial_no"]
     assert res_raw.hexframes == res_f32.hexframes
     assert abs(len(res_raw.time) - len(res_f32.time)) <= 2
+
+
+def test_length_bucketing_shares_compilation(default_drop_wav):
+    """Different file lengths in one 15 s bucket decode identically and
+    share EngineDims (i.e. one compilation)."""
+    from axctdprocessor_tpu.models.tpu_engine import (
+        BUCKET_SECONDS, EngineDims)
+
+    wav, truth = default_drop_wav
+    pcm, fs = read_wav(wav)
+    full = decode_waveform_tpu(pcm, fs)
+    # trim 1.7 s off the end: same bucket, nearly identical decode
+    trimmed = decode_waveform_tpu(pcm[: int(len(pcm) - 1.7 * fs)], fs)
+    assert trimmed.metadata == full.metadata
+    assert trimmed.numpoints == int(len(pcm) - 1.7 * fs)
+    assert abs(len(trimmed.time) - (len(full.time) - 1.7 * 25)) < 10
+    # dims identical -> cached compilation
+    npcm = int(np.round(fs / 800 * 0.75)) - 2
+    unit = int(BUCKET_SECONDS * fs)
+    n1 = int(np.ceil(len(pcm) / unit)) * unit
+    n2 = int(np.ceil((len(pcm) - 1.7 * fs) / unit)) * unit
+    assert n1 == n2
+    assert EngineDims.for_waveform(n1, fs, 800, npcm) == \
+        EngineDims.for_waveform(n2, fs, 800, npcm)
