@@ -101,3 +101,31 @@ def test_mixed_sample_rates(corpus, tmp_path):
         assert "Probe Serial: 00123456" in text, name
     assert "Sampling frequency (fs): 22050 Hz" in open(
         os.path.join(out, "drop22k.txt")).read()
+
+
+def test_multihost_partition_disjoint_and_balanced(tmp_path):
+    from axctdprocessor_tpu.parallel.multihost import partition_corpus
+
+    paths = []
+    rng = np.random.default_rng(4)
+    for i in range(23):
+        p = str(tmp_path / f"f{i:02d}.wav")
+        open(p, "wb").write(b"x" * int(rng.integers(1000, 100000)))
+        paths.append(p)
+
+    slices = [partition_corpus(paths, k, 4) for k in range(4)]
+    all_assigned = [p for s in slices for p in s]
+    assert sorted(all_assigned) == sorted(paths)          # disjoint + complete
+    assert len(set(all_assigned)) == len(paths)
+    sizes = [sum(os.path.getsize(p) for p in s) for s in slices]
+    assert max(sizes) < 2.0 * max(min(sizes), 1)          # roughly balanced
+    # single host owns everything
+    assert partition_corpus(paths, 0, 1) == paths
+
+
+def test_multihost_single_process(corpus, tmp_path):
+    from axctdprocessor_tpu.parallel.multihost import reprocess_corpus_multihost
+
+    out = str(tmp_path / "mh_out")
+    manifest = reprocess_corpus_multihost(corpus[:1], out, batch_size=2)
+    assert list(manifest["files"].values())[0]["status"] == "done"

@@ -155,3 +155,15 @@ def test_length_bucketing_shares_compilation(default_drop_wav):
     assert n1 == n2
     assert EngineDims.for_waveform(n1, fs, 800, npcm) == \
         EngineDims.for_waveform(n2, fs, 800, npcm)
+
+
+def test_tpu_engine_timerange(default_drop_wav):
+    """-s/-e trimming through decode_wav_tpu (raw int16 path)."""
+    from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
+
+    wav, truth = default_drop_wav
+    res = decode_wav_tpu(wav, timerange=[0, 45])
+    assert res.numpoints == int(45 * 44100)
+    assert res.status == 2
+    assert res.metadata["serial_no"] == truth["serial_no"]
+    assert len(res.time) > 100
