@@ -164,3 +164,15 @@ def test_cubic_coefficients_parity(tmp_path_factory, tmp_path):
     out = _assert_byte_parity(wav, tmp_path, label="cubic")
     assert b"Probe Serial: a1b2c3d4" in out
     assert b"(default)" not in out  # every coefficient set decoded
+
+
+def test_noisy_signal_byte_parity(tmp_path_factory, tmp_path):
+    # Heavy noise makes every demod decision borderline; byte parity here
+    # proves the float64 accumulation orders match the upstream exactly
+    # (any reordering flips some near-tie bit decision somewhere).
+    spec = simulator.SimSpec(duration=45.0, profile_start=33.0, seed=41,
+                             noise_rms=0.35)
+    pcm, _ = simulator.synthesize(spec)
+    wav = str(tmp_path_factory.mktemp("wavnoisy") / "noisy.wav")
+    simulator.write_wav(wav, pcm, spec.fs)
+    _assert_byte_parity(wav, tmp_path, label="noisy")
