@@ -1,0 +1,108 @@
+"""Device-side header codec vs the host implementation."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from axctdprocessor_tpu.models import frames as host_frames
+from axctdprocessor_tpu.models import simulator
+from axctdprocessor_tpu.ops import header_device as dev
+
+CAP = 8192  # fixed device buffer size
+
+
+def _stream(rng, drop_rate=0.0, coeffs=None):
+    kw = {}
+    if coeffs is not None:
+        kw = dict(zcoeff=coeffs[0], tcoeff=coeffs[1], ccoeff=coeffs[2])
+    hdr = simulator.encode_header_frames(**kw).ravel()
+    stream = np.concatenate([
+        rng.integers(0, 2, size=rng.integers(30, 200)),
+        np.ones(rng.integers(500, 1500), dtype=np.int64),
+        hdr,
+        rng.integers(0, 2, size=400),
+    ])
+    if drop_rate:
+        stream = stream ^ (rng.random(len(stream)) < drop_rate)
+    return stream
+
+
+def _pad(stream):
+    buf = np.zeros(CAP, np.int32)
+    buf[: len(stream)] = stream
+    return jnp.asarray(buf), len(stream)
+
+
+def test_trim_matches_host(rng):
+    for trial in range(12):
+        stream = _stream(rng, drop_rate=0.002 * (trial % 3))
+        host = host_frames.trim_header(stream)
+        buf, n = _pad(stream)
+        start, length = dev.trim_header(buf, jnp.asarray(n, jnp.int32))
+        start, length = int(start), int(length)
+        got = np.asarray(buf)[start : start + length]
+        # host forces bits[:25]=1 before returning; window contents match
+        # for the same start — compare against the host-modified stream
+        mod = stream.copy()
+        mod[:25] = 1
+        np.testing.assert_array_equal(got, mod[start : start + length])
+        assert len(host) == length, trial
+        np.testing.assert_array_equal(got, host)
+
+
+def test_parse_frames_and_coefficients(rng):
+    coeff_sets = [
+        None,
+        ((1.2345678e-2, 2.5, -3.1e-4, 7.77e-8),
+         (-0.5, 1.0203, 4.4e-5, -9.9e-9),
+         (0.25, 0.98765, -1.1e-6, 2.2e-10)),
+    ]
+    for trial in range(8):
+        coeffs = coeff_sets[trial % 2]
+        stream = _stream(rng, drop_rate=0.001 * (trial % 3), coeffs=coeffs)
+        trimmed = host_frames.trim_header(stream)
+        try:
+            host = host_frames.parse_header(trimmed)
+        except ValueError:
+            continue  # CRC-colliding corrupt coefficient; host crash parity
+
+        buf, n = _pad(trimmed)
+        found, frames = dev.parse_header_frames(buf, jnp.asarray(n, jnp.int32))
+        found = np.asarray(found)
+        np.testing.assert_array_equal(found, host["counter_found"], err_msg=str(trial))
+        from axctdprocessor_tpu.ops.bits import nibbles_to_hex_np
+
+        hexes = nibbles_to_hex_np(np.asarray(frames))
+        for k in range(72):
+            if host["counter_found"][k]:
+                assert hexes[k] == host["frame_data"][k], (trial, k)
+
+        values, valid = dev.decode_coefficients(jnp.asarray(found), frames)
+        values, valid = np.asarray(values), np.asarray(valid)
+        for ci, name in enumerate(("z", "t", "c")):
+            np.testing.assert_array_equal(
+                valid[ci], host[f"{name}coeff_valid"], err_msg=f"{trial} {name}")
+            for j in range(4):
+                if valid[ci, j]:
+                    assert abs(values[ci, j] - host[f"{name}coeff"][j]) <= \
+                        1e-6 * max(abs(host[f"{name}coeff"][j]), 1e-12), (name, j)
+
+
+def test_corrupt_coefficient_marked_invalid(rng):
+    """Hex digits in the decimal mantissa invalidate just that coefficient
+    (the host/upstream path raises ValueError instead)."""
+    hdr = simulator.encode_header_frames()
+    # corrupt zcoeff[0]'s middle frame (frame 22) data to nibbles > 9
+    bits = hdr.copy()
+    frame22 = simulator.encode_header_frame(22, "ffff")
+    bits[22] = frame22
+    stream = np.concatenate([np.ones(1200, np.int64), bits.ravel()])
+    buf, n = _pad(stream)
+    start, length = dev.trim_header(buf, jnp.asarray(n, jnp.int32))
+    window = jnp.roll(buf, -start)
+    found, frames = dev.parse_header_frames(window, length)
+    values, valid = dev.decode_coefficients(found, frames)
+    valid = np.asarray(valid)
+    assert not valid[0, 0]          # zcoeff[0] invalid
+    assert valid[0, 1:].all()       # other z coefficients fine
+    assert valid[1:].all()          # t and c untouched
