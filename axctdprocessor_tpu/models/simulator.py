@@ -263,24 +263,31 @@ def synthesize(spec: SimSpec | None = None,
                             f_space=800.0 * scale,
                             bitrate=BITRATE * scale) * spec.fsk_amp
         s = int(round(start * spec.fs))
+        if s >= nsamp:  # drop too short for this transmission cycle
+            continue
         e = min(s + len(wave), nsamp)
         pcm[s:e] += wave[: e - s]
 
     # profile: FSK frames + 7500 Hz tone from profile_start to end of file
+    # (a profile_start at/past the end of file means no profile at all —
+    # useful for pulse-only / no-trigger fixtures)
     prof_samples = nsamp - int(round(spec.profile_start * spec.fs))
-    n_frames = int(prof_samples / spec.fs * FRAMES_PER_SEC) - 1
+    n_frames = max(int(prof_samples / spec.fs * FRAMES_PER_SEC) - 1, 0)
     if tints is None or cints is None:
         tints, cints = default_profile_ints(n_frames)
     else:
         n_frames = len(tints)
-    prof_frames = np.stack([encode_profile_frame(t, c) for t, c in zip(tints, cints)])
-    prof_bits = prof_frames.ravel()
-    s = int(round(spec.profile_start * spec.fs))
-    wave = fsk_waveform(prof_bits, spec.fs, f_mark=400.0 * scale,
-                        f_space=800.0 * scale,
-                        bitrate=BITRATE * scale) * spec.fsk_amp
-    e = min(s + len(wave), nsamp)
-    pcm[s:e] += wave[: e - s]
+    prof_frames = (np.stack([encode_profile_frame(t, c)
+                             for t, c in zip(tints, cints)])
+                   if n_frames > 0 else np.zeros((0, FRAME_BITS), np.int64))
+    s = min(int(round(spec.profile_start * spec.fs)), nsamp)
+    if n_frames > 0:
+        prof_bits = prof_frames.ravel()
+        wave = fsk_waveform(prof_bits, spec.fs, f_mark=400.0 * scale,
+                            f_space=800.0 * scale,
+                            bitrate=BITRATE * scale) * spec.fsk_amp
+        e = min(s + len(wave), nsamp)
+        pcm[s:e] += wave[: e - s]
     t7500 = np.arange(nsamp - s) / spec.fs
     pcm[s:] += spec.tone7500_amp * np.sin(2 * np.pi * 7500.0 * scale * t7500)
 

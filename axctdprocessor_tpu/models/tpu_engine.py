@@ -409,10 +409,21 @@ def attach_profile(result: DecodeResult, out: dict) -> DecodeResult:
 
 
 def trigger_scalars(r400: np.ndarray, r7500: np.ndarray, cfg: DecoderConfig,
-                    fs: float, d_pcm: int):
+                    fs: float, d_pcm: int, n_valid: int | None = None):
     """Host scalar logic over the 25 Hz power series: pulse detection,
     7500 Hz baseline, profile trigger.  Returns
-    (firstpulse|-1, mean7500, profstart|-1)."""
+    (firstpulse|-1, mean7500, profstart|-1).
+
+    ``n_valid`` is the true (pre-padding) sample count: decode inputs are
+    zero-padded to length buckets, and the hard-timeout trigger compares
+    against the *last* power window — padding must not extend the grid or
+    a short file could time out into status 2 where the reference
+    (which only ever sees real windows) stays at status 1."""
+    if n_valid is not None:
+        n_power = int(fs / 10)
+        n_win_true = max(int(math.ceil((n_valid - n_power) / d_pcm)), 1)
+        r400 = r400[:n_win_true]
+        r7500 = r7500[:n_win_true]
     win_samples = np.arange(len(r400)) * d_pcm
     pulse_hits = np.flatnonzero(r400 >= cfg.min_r400)
     if pulse_hits.size == 0:
@@ -481,6 +492,9 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     and padding is decode-neutral (no crossings, NaN power ratios).
     """
     cfg = config or DecoderConfig()
+    # the report prints fs verbatim: int for native rates, float after
+    # host decimation (the reference's `fs /= 2` makes it print "48000.0")
+    fs_report = float(fs) if isinstance(fs, float) else int(fs)
     fs = float(fs)
     pcm = np.asarray(pcm)
     n = int(len(pcm))
@@ -512,11 +526,11 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
                  cfg.bit_inset, 100, use_pallas=use_pallas,
                  n_valid=jnp.asarray(n, jnp.int32))
 
-    result = DecodeResult(fs=fs if fs != int(fs) else int(fs), numpoints=n)
+    result = DecodeResult(fs=fs_report, numpoints=n)
     r400 = np.asarray(s1["r400"], dtype=np.float64)
     r7500 = np.asarray(s1["r7500"], dtype=np.float64)
     firstpulse, mean7500, profstart = trigger_scalars(r400, r7500, cfg, fs,
-                                                      dims.d_pcm)
+                                                      dims.d_pcm, n_valid=n)
     if firstpulse < 0:
         result.status = 0
         return result

@@ -119,25 +119,39 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
 
     executor = ThreadPoolExecutor(max_workers=2)
 
-    def load_one(path):
-        try:
-            return _read_and_condition(path)
-        except Exception as e:  # unreadable/corrupt file: isolate, don't abort
-            return e
-
     def load_batch(paths):
+        # Per-file loading: one unreadable or odd-format file is isolated
+        # (recorded in the manifest), never demotes or aborts the batch.
+        # Raw int16 ships at half the bytes and conditions on device, but
+        # a batch must be dtype-uniform — if any file needs the float
+        # path, the raw rows are host-conditioned to match (same raw-int
+        # DC/peak statistics as utils.wavio.read_wav).
         with timer.stage("io.read_wavs"):
-            # raw int16 ships at half the bytes and conditions on device,
-            # but a batch must be dtype-uniform — all raw or all float
             from ..utils.wavio import read_wav_raw16
 
-            try:
-                raws = [read_wav_raw16(p) for p in paths]
-            except Exception:
-                raws = [None]
-            if all(r is not None for r in raws):
-                return [(r, p) for r, p in zip(raws, paths)]
-            return [(load_one(p), p) for p in paths]
+            items = []
+            any_float = False
+            for p in paths:
+                try:
+                    r = read_wav_raw16(p)
+                    if r is None:
+                        r = _read_and_condition(p)
+                        any_float = True
+                except Exception as e:
+                    r = e
+                items.append((r, p))
+            if any_float:
+                for k, (r, p) in enumerate(items):
+                    if isinstance(r, Exception):
+                        continue
+                    pcm, wav_fs = r
+                    if np.issubdtype(np.asarray(pcm).dtype, np.integer):
+                        dc = np.mean(pcm)
+                        peak = np.max(np.abs(pcm))
+                        pcm = ((pcm.astype(np.float64) - dc)
+                               / max(peak, 1)).astype(np.float32)
+                        items[k] = ((pcm, wav_fs), p)
+            return items
 
     pending = executor.submit(load_batch, batches[0]) if batches else None
     for bi, paths in enumerate(batches):

@@ -101,14 +101,20 @@ def _batched_stage15(dims):
 
 
 def run_interludes_and_profiles(s1: dict, n: int, cfg: DecoderConfig,
-                                fs: float, dims, mesh, dtype) -> list[DecodeResult]:
+                                fs: float, dims, mesh, dtype,
+                                lengths=None, fs_report=None) -> list[DecodeResult]:
     """Shared back half of batched decode.
 
     Only the 25 Hz power series and the compacted header windows cross to
-    the host; bits and edges stay device-resident between stages."""
+    the host; bits and edges stay device-resident between stages.
+    ``lengths`` (true samples per row) keeps the hard-timeout trigger off
+    the zero-padded window-grid tail; ``fs_report`` preserves the int/
+    float distinction the report prints verbatim."""
     r400_b = np.asarray(s1["r400"], dtype=np.float64)
     r7500_b = np.asarray(s1["r7500"], dtype=np.float64)
     b = r400_b.shape[0]
+    if fs_report is None:
+        fs_report = fs if fs != int(fs) else int(fs)
 
     results: list[DecodeResult] = []
     fp_b = np.zeros(b, np.int32)
@@ -117,9 +123,12 @@ def run_interludes_and_profiles(s1: dict, n: int, cfg: DecoderConfig,
     hb_b = np.zeros((b, 6), np.int32)
     cc_b = np.zeros(b, np.int32)
     for i in range(b):
-        result = DecodeResult(fs=fs if fs != int(fs) else int(fs), numpoints=n)
+        result = DecodeResult(
+            fs=fs_report,
+            numpoints=n if lengths is None else int(lengths[i]))
         firstpulse, mean7500, profstart = eng.trigger_scalars(
-            r400_b[i], r7500_b[i], cfg, fs, dims.d_pcm)
+            r400_b[i], r7500_b[i], cfg, fs, dims.d_pcm,
+            n_valid=None if lengths is None else int(lengths[i]))
         if firstpulse >= 0:
             result.status = 1
             result.firstpulse400 = firstpulse
@@ -207,6 +216,7 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     batches pass `lengths` (true samples per row) so DC removal averages
     over real samples only."""
     cfg = config or DecoderConfig()
+    fs_report = float(fs) if isinstance(fs, float) else int(fs)
     fs = float(fs)
     pcms = np.asarray(pcms)
     b_orig = pcms.shape[0]
@@ -226,5 +236,6 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     s1 = stage1(x, jnp.asarray(lengths), jnp.asarray(ptrig, dtype),
                 jnp.asarray(sos, dtype), jnp.asarray(btrig, dtype))
 
-    results = run_interludes_and_profiles(s1, n, cfg, fs, dims, mesh, dtype)
+    results = run_interludes_and_profiles(s1, n, cfg, fs, dims, mesh, dtype,
+                                          lengths=lengths, fs_report=fs_report)
     return results[:b_orig]

@@ -61,7 +61,8 @@ def pad_for_mesh(pcms: np.ndarray, fs: float, n_sp: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int):
+def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int,
+                      integer_input: bool = False):
     n_sp = mesh.shape["sp"]
     n = dims.n
     assert n % n_sp == 0, "pad with pad_for_mesh first"
@@ -69,15 +70,34 @@ def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int
     assert block % dims.d_pcm == 0
     n_win_blk = block // dims.d_pcm
     cross_halo = dims.npcm + bit_inset + 1
-    max_cross_blk = max(block // 8, 256)
+    # crossing capacity must be duration-based, not sample-based (the
+    # filtered band is <= ~1300 Hz -> <= 2600 crossings/s); block//8 alone
+    # silently truncates below ~13 kHz sample rates, mirroring the bound
+    # EngineDims.for_waveform uses for the single-device engine
+    max_cross_blk = max(block // 8, int(block / fs * 4000) + 256)
     fwd = [(i, (i + 1) % n_sp) for i in range(n_sp)]   # send right
     bwd = [(i, (i - 1) % n_sp) for i in range(n_sp)]   # send left
 
-    def frontend(x_blk, ptrig, btrig, sos_arr):
-        # x_blk: (b_local, block)
+    def frontend(x_blk, n_valid, ptrig, btrig, sos_arr):
+        # x_blk: (b_local, block); n_valid: (b_local,) true global lengths
         sp_i = lax.axis_index("sp")
         is_first = sp_i == 0
         is_last = sp_i == n_sp - 1
+        gpos_blk = jnp.arange(block) + sp_i * block
+
+        if integer_input:
+            # condition raw integer PCM on device: the DC mean and peak
+            # are global per-row statistics, reduced over the "sp" axis
+            # (psum/pmax ride ICI); zero padding past n_valid contributes
+            # nothing to the sum or the peak, and the mean divides by the
+            # true length so it stays exact
+            xf = x_blk.astype(jnp.float32)
+            total = lax.psum(jnp.sum(xf, axis=1), "sp")
+            peak = lax.pmax(jnp.max(jnp.abs(xf), axis=1), "sp")
+            mean = total / n_valid.astype(jnp.float32)
+            x_blk = jnp.where(
+                gpos_blk[None, :] < n_valid[:, None],
+                (xf - mean[:, None]) / jnp.maximum(peak, 1.0)[:, None], 0.0)
 
         # --- power windows with right raw halo --------------------------
         right_raw = lax.ppermute(x_blk[:, : dims.n_power], "sp", bwd)
@@ -104,46 +124,54 @@ def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int
         right_f = jnp.where(is_last, 0.0, right_f)
         f_ext = jnp.concatenate([filt, right_f], axis=1)
 
-        def cross_one(row):
+        def cross_one(row, nv):
             sgn = jnp.where(row >= 0, 1, -1)
             is_c = sgn[:block] != sgn[1 : block + 1]
-            gpos = jnp.arange(block) + sp_i * block
-            is_c &= gpos >= edge_pad
+            is_c &= gpos_blk >= edge_pad
+            # no bit edges in the zero-padded tail (filter ring-down there
+            # would otherwise demodulate into garbage frames)
+            is_c &= gpos_blk < nv - 1
             pos, = jnp.where(is_c, size=max_cross_blk, fill_value=BIG)
             probes = goertzel.tone_power_at(
                 row, jnp.clip(pos, 0, block - 1) + bit_inset, dims.npcm, btrig)
             gp = jnp.where(pos < BIG, pos + sp_i * block, BIG)
             return gp.astype(jnp.int32), probes[:, 0], probes[:, 1]
 
-        gpos, p1, p2 = jax.vmap(cross_one)(f_ext)
+        gpos, p1, p2 = jax.vmap(cross_one)(f_ext, n_valid)
         return powers, gpos, p1, p2
 
     return shard_map(
         frontend, mesh=mesh,
-        in_specs=(P("dp", "sp"), P(), P(), P()),
+        in_specs=(P("dp", "sp"), P("dp"), P(), P(), P()),
         out_specs=(P("dp", "sp", None), P("dp", "sp"), P("dp", "sp"),
                    P("dp", "sp")),
     )
 
 
 def sharded_stage1(pcms, fs: float, cfg: DecoderConfig, mesh: Mesh,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, lengths=None):
     """Time+data sharded stage 1 over a ("dp", "sp") mesh.
 
     `pcms` is (B, N) with N divisible by n_sp * d_pcm (see pad_for_mesh).
+    Integer batches ship raw (half the host->device bytes) and are
+    conditioned on device with psum/pmax row statistics over "sp".
     Returns the stage1_core output dict, batched over B.
     """
     fs = float(fs)
     b, n = pcms.shape
+    integer_input = bool(np.issubdtype(np.asarray(pcms).dtype, np.integer))
+    if lengths is None:
+        lengths = np.full(b, n, np.int32)
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
     ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)
 
-    frontend = _sharded_frontend(mesh, dims, fs, cfg.bit_inset, 100)
+    frontend = _sharded_frontend(mesh, dims, fs, cfg.bit_inset, 100,
+                                 integer_input)
 
     @functools.partial(jax.jit)
-    def run(x, pt, bt, so):
-        powers, gpos, p1, p2 = frontend(x, pt, bt, so)
+    def run(x, nv, pt, bt, so):
+        powers, gpos, p1, p2 = frontend(x, nv, pt, bt, so)
         # compact the per-block crossing tables into global sorted order
         order = jnp.argsort(gpos, axis=1)
         gpos_s = jnp.take_along_axis(gpos, order, axis=1)
@@ -170,43 +198,46 @@ def sharded_stage1(pcms, fs: float, cfg: DecoderConfig, mesh: Mesh,
                     n_edges=n_edges, s1=s1, s2=s2)
 
     sh = NamedSharding(mesh, P("dp", "sp"))
-    x = jax.device_put(jnp.asarray(pcms, dtype), sh)
-    return run(x, jnp.asarray(ptrig, dtype), jnp.asarray(btrig, dtype),
+    sh_b = NamedSharding(mesh, P("dp"))
+    x = jnp.asarray(pcms) if integer_input else jnp.asarray(pcms, dtype)
+    x = jax.device_put(x, sh)
+    nv = jax.device_put(jnp.asarray(lengths, jnp.int32), sh_b)
+    return run(x, nv, jnp.asarray(ptrig, dtype), jnp.asarray(btrig, dtype),
                jnp.asarray(sos, dtype)), dims
 
 
 def decode_batch_timesharded(pcms, fs, config: DecoderConfig | None = None,
                              mesh: Mesh | None = None,
-                             dtype=jnp.float32) -> list[DecodeResult]:
+                             dtype=jnp.float32, lengths=None) -> list[DecodeResult]:
     """Full batched decode with the time-sharded front end.
 
     DP x SP mesh: drops sharded over "dp", each drop's waveform over
     "sp"; profile stage runs dp-sharded (it is tiny next to the front
-    end)."""
+    end).  Integer batches stay integer through the host->device transfer
+    (half the bytes on exactly the long-file path this mode exists for)
+    and are conditioned on device."""
     from .batch import run_interludes_and_profiles
 
     cfg = config or DecoderConfig()
+    fs_report = float(fs) if isinstance(fs, float) else int(fs)
     fs = float(fs)
     pcms = np.asarray(pcms)
-    if np.issubdtype(pcms.dtype, np.integer):
-        # condition on host before padding (the sharded front end has no
-        # integer branch, and padding would skew the DC estimate)
-        xf = pcms.astype(np.float64)
-        mean = xf.mean(axis=1, keepdims=True)
-        peak = np.maximum(np.abs(xf).max(axis=1, keepdims=True), 1.0)
-        pcms = ((xf - mean) / peak).astype(np.float32)
-    else:
+    if not np.issubdtype(pcms.dtype, np.integer):
         pcms = pcms.astype(np.float32)
+    if lengths is None:
+        lengths = np.full(pcms.shape[0], pcms.shape[1], np.int32)
+    lengths = np.asarray(lengths, np.int32)
     pcms = pad_for_mesh(pcms, fs, mesh.shape["sp"])
     b_orig = pcms.shape[0]
     if b_orig % mesh.shape["dp"]:
         from .batch import pad_to_multiple
 
-        (pcms,), _ = pad_to_multiple([pcms], mesh.shape["dp"])
+        (pcms, lengths), _ = pad_to_multiple([pcms, lengths], mesh.shape["dp"])
     n = pcms.shape[1]
 
-    s1, dims = sharded_stage1(pcms, fs, cfg, mesh, dtype)
+    s1, dims = sharded_stage1(pcms, fs, cfg, mesh, dtype, lengths=lengths)
 
     dp_mesh = Mesh(mesh.devices.reshape(-1)[: mesh.shape["dp"]], ("dp",))
-    results = run_interludes_and_profiles(s1, n, cfg, fs, dims, dp_mesh, dtype)
+    results = run_interludes_and_profiles(s1, n, cfg, fs, dims, dp_mesh, dtype,
+                                          lengths=lengths, fs_report=fs_report)
     return results[:b_orig]

@@ -129,3 +129,25 @@ def test_multihost_single_process(corpus, tmp_path):
     out = str(tmp_path / "mh_out")
     manifest = reprocess_corpus_multihost(corpus[:1], out, batch_size=2)
     assert list(manifest["files"].values())[0]["status"] == "done"
+
+def test_mixed_encoding_batch_not_demoted(corpus, tmp_path):
+    """One float-path (stereo) or corrupt file must not demote the whole
+    batch off the raw-int16 path or abort it — per-file fallback only."""
+    from scipy.io import wavfile
+
+    # stereo copy of drop0 -> needs the full conditioning (float) path
+    fs, snd = wavfile.read(corpus[0])
+    stereo = str(tmp_path / "stereo.wav")
+    wavfile.write(stereo, fs, np.stack([snd, snd], axis=1))
+    bad = str(tmp_path / "corrupt2.wav")
+    open(bad, "wb").write(b"RIFFnot_really_a_wav_file")
+
+    out = str(tmp_path / "out_mixed_enc")
+    manifest = reprocess_corpus([corpus[0], stereo, bad, corpus[1]], out,
+                                batch_size=4)
+    files = manifest["files"]
+    assert files["corrupt2.wav"]["status"] == "failed"
+    assert "error" in files["corrupt2.wav"]
+    for name in ("drop0.txt", "stereo.txt", "drop1.txt"):
+        text = open(os.path.join(out, name)).read()
+        assert "Probe Serial: 00123456" in text, name

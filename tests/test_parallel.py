@@ -108,3 +108,42 @@ def test_padded_int16_batch_conditioning(default_drop_wav):
     assert res.metadata["serial_no"] == truth["serial_no"]
     assert res.hexframes == ref.hexframes
     np.testing.assert_array_equal(res.temperature, ref.temperature)
+
+
+def test_timeshard_int16_device_conditioning(default_drop_wav):
+    """Integer batches stay int16 across H2D in SP mode; the device
+    psum/pmax row statistics must match host conditioning."""
+    from scipy.io import wavfile
+
+    wav, truth = default_drop_wav
+    _, snd = wavfile.read(wav)
+    snd = (snd + 500).astype(np.int16)  # DC offset exercises the psum mean
+    mesh = make_mesh({"dp": 1, "sp": 8})
+    res_raw = timeshard.decode_batch_timesharded(snd[None, :], 44100,
+                                                 mesh=mesh)[0]
+    pcm = ((snd.astype(np.float64) - np.mean(snd))
+           / np.max(np.abs(snd))).astype(np.float32)
+    res_f32 = timeshard.decode_batch_timesharded(pcm[None, :], 44100,
+                                                 mesh=mesh)[0]
+    assert res_raw.metadata["serial_no"] == truth["serial_no"]
+    assert res_raw.hexframes == res_f32.hexframes
+    np.testing.assert_array_equal(res_raw.temperature, res_f32.temperature)
+
+
+def test_timeshard_low_fs_crossing_capacity():
+    """Duration-based crossing capacity: a 16 kHz drop must decode the
+    same time-sharded as single-device (a sample-count bound alone
+    silently truncates crossings below ~13 kHz block rates)."""
+    spec = simulator.SimSpec(fs=16000, duration=42.0, profile_start=33.0,
+                             seed=77)
+    pcm, truth = simulator.synthesize(spec)
+    pcm = ((pcm - np.mean(pcm)) / np.max(np.abs(pcm))).astype(np.float32)
+    single = decode_waveform_tpu(pcm, 16000)
+    assert single.status == 2
+    mesh = make_mesh({"dp": 1, "sp": 8})
+    res = timeshard.decode_batch_timesharded(pcm[None, :], 16000,
+                                             mesh=mesh)[0]
+    assert res.status == 2
+    assert res.metadata["serial_no"] == truth["serial_no"]
+    a, b = set(res.hexframes), set(single.hexframes)
+    assert len(a & b) / max(len(a | b), 1) > 0.95

@@ -167,3 +167,43 @@ def test_tpu_engine_timerange(default_drop_wav):
     assert res.status == 2
     assert res.metadata["serial_no"] == truth["serial_no"]
     assert len(res.time) > 100
+
+
+def test_trigger_timeout_ignores_bucket_padding():
+    """The fixed-compat hard-timeout trigger compares against the last
+    *real* power window; the zero-padded bucket tail must not satisfy it
+    (a 16 s file with an 18 s timeout stays status 1 even though its
+    padded grid reaches 30 s)."""
+    from axctdprocessor_tpu.models import simulator, tpu_engine
+    from axctdprocessor_tpu.utils.config import DecoderConfig
+
+    spec = simulator.SimSpec(duration=16.0, profile_start=200.0,
+                             tone7500_amp=0.0, seed=5)
+    pcm, _ = simulator.synthesize(spec)
+    pcm = ((pcm - np.mean(pcm)) / np.max(np.abs(pcm))).astype(np.float32)
+    cfg = DecoderConfig(trigger_range=(5, 14), compat="fixed")
+    res = tpu_engine.decode_waveform_tpu(pcm, 44100, config=cfg)
+    # pulse at ~1 s, timeout at ~15 s > 16 s file's last window minus
+    # pulse: the real grid ends at 16 s, which is past 1 s + 14 s, so the
+    # timeout *does* fire on real windows
+    assert res.status == 2
+
+    cfg2 = DecoderConfig(trigger_range=(5, 18), compat="fixed")
+    res2 = tpu_engine.decode_waveform_tpu(pcm, 44100, config=cfg2)
+    # 1 s + 18 s = 19 s is beyond the real 16 s grid; only the padded
+    # (30 s bucket) grid could satisfy it -> must stay status 1
+    assert res2.status == 1
+
+
+def test_fs_report_type_preserved():
+    """The report prints fs verbatim: float fs (post-decimation) must
+    stay float through the TPU engine, int fs must stay int."""
+    from axctdprocessor_tpu.models import simulator, tpu_engine
+
+    spec = simulator.SimSpec(duration=16.0, seed=6)
+    pcm, _ = simulator.synthesize(spec)
+    pcm = (pcm - np.mean(pcm)) / np.max(np.abs(pcm))
+    res_f = tpu_engine.decode_waveform_tpu(pcm, 44100.0)
+    res_i = tpu_engine.decode_waveform_tpu(pcm, 44100)
+    assert isinstance(res_f.fs, float) and f"{res_f.fs}" == "44100.0"
+    assert isinstance(res_i.fs, int) and f"{res_i.fs}" == "44100"
