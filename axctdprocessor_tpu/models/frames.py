@@ -61,7 +61,6 @@ def parse_header(bits_in) -> dict:
     """
     bits = np.asarray(bits_in, dtype=np.int64)
     n = len(bits)
-    out = md.new_metadata()
 
     counter_found = [False] * HEADER_FRAMES
     frame_data: list = [None] * HEADER_FRAMES
@@ -85,6 +84,19 @@ def parse_header(bits_in) -> dict:
             frame_data[counter] = bits_to_hex_np(bits[s + 10 : s + 26])
         s += FRAME_BITS
 
+    return header_fields_from_frames(counter_found, frame_data)
+
+
+def header_fields_from_frames(counter_found: list, frame_data: list) -> dict:
+    """Field/coefficient decode from per-counter frame data.
+
+    Shared by the host parser above and the fused TPU engine (which
+    frame-syncs on device and ships back found flags + frame nibbles).
+    Raises ValueError on upstream-unparseable coefficient hex — the
+    reference's ``int()`` crash (parse.py:277-279), which callers treat
+    as "whole header unusable".
+    """
+    out = md.new_metadata()
     if counter_found[4] and counter_found[5]:
         out["serial_no"] = frame_data[4] + frame_data[5]
     if counter_found[6]:
@@ -109,6 +121,25 @@ def parse_header(bits_in) -> dict:
     out["frame_data"] = frame_data
     out["counter_found"] = counter_found
     return out
+
+
+def header_dict_from_device(found, frames) -> dict | None:
+    """parse_header-equivalent dict from device (found, frames) arrays.
+
+    Returns None when the upstream decode would have crashed on
+    unparseable coefficient hex (crash parity with the host path's
+    try/except around parse_header).
+    """
+    found = [bool(f) for f in np.asarray(found)]
+    nibbles = np.asarray(frames)
+    frame_data = [
+        "".join("0123456789abcdef"[v] for v in nibbles[k]) if found[k] else None
+        for k in range(HEADER_FRAMES)
+    ]
+    try:
+        return header_fields_from_frames(found, frame_data)
+    except ValueError:
+        return None
 
 
 def sync_profile_frames(bits_in, r7500_in) -> tuple[np.ndarray, int]:

@@ -2,17 +2,24 @@
 
 Where the parity engine replays the reference's per-chunk state machine
 (required for byte-identical output), this engine decodes the entire
-waveform in two fused device programs plus a microsecond-scale host step
-— the architecture the hardware wants:
+waveform in ONE fused device program — a single dispatch and a single
+blocking device->host transfer per file:
 
-* **stage 1 (device, input-independent)** — framed multi-tone DFT powers
-  on the MXU, causal smoothing, whole-waveform Butterworth via
-  associative-scan parallel IIR, zero-crossing extraction, pointer-
-  doubling bit-edge chaining, and per-bit mark/space powers: everything
-  expensive, with static shapes, no data-dependent control flow.
-* **host interlude** — trigger/threshold scalar logic over the ~25 Hz
-  power series, bit-decision scale calibration from header 1, and header
-  2/3 metadata decode (a few thousand bits; reuses models.frames).
+* **stage 1 (front end)** — framed multi-tone DFT powers on the MXU,
+  causal smoothing, whole-waveform Butterworth via FFT-domain filtering,
+  zero-crossing extraction, pointer-doubling bit-edge chaining, and
+  per-bit mark/space powers: everything expensive, with static shapes,
+  no data-dependent control flow.
+* **trigger logic (device)** — pulse detection, 7500 Hz baseline, tone/
+  timeout profile trigger over the 25 Hz power series, with exact
+  integer window comparisons precomputed on host (trigger_tables).
+* **stage 1.5 (device)** — bit-decision scale calibration from the
+  header-1 confidence histogram, bit calls, header-window compaction.
+* **header codec (device)** — trim, '10'+CRC frame sync (pointer
+  doubling), counter decode, coefficient decode (exact integer
+  mantissa/exponent shipped back so the host reconstructs float64
+  metadata bit-identically), and the live-coefficient merge with the
+  upstream zcoeff-gate quirk (ops.header_device).
 * **stage 2 (device)** — profile frame sync over every bit offset at
   once (CRC as GF(2) matmul + pointer-doubling jump chain), frame field
   extraction, LUT/polynomial/PSS-78 conversion, and both QC filters with
@@ -46,7 +53,6 @@ import jax.numpy as jnp
 from ..ops import chain as chain_ops
 from ..ops import crc as crc_ops
 from ..ops import goertzel, iir
-from ..ops.bits import nibbles_to_hex_np
 from ..ops.seawater import sp_from_c
 from ..utils.config import DecoderConfig, resolve_settings
 from ..utils.lut import load_temp_lut
@@ -186,12 +192,6 @@ def stage1_core(pcm, power_trig, sos_arr, bit_trig,
                 n_edges=n_edges, s1=probes[:, 0], s2=probes[:, 1])
 
 
-_stage1 = functools.partial(
-    jax.jit, static_argnames=("dims", "fs", "bitrate", "bit_inset", "edge_pad",
-                              "use_pallas")
-)(stage1_core)
-
-
 def _use_pallas_default() -> bool:
     """Default the fused Pallas tone kernel on when running on real TPU."""
     try:
@@ -261,9 +261,6 @@ def stage15_core(s1, s2, edge_samples, n_edges, h_bounds, calib_cut,
                 h3_bits=h3_bits, h3_n=h3_n)
 
 
-_stage15 = functools.partial(jax.jit, static_argnames=("dims",))(stage15_core)
-
-
 # ---------------------------------------------------------------------------
 # stage 2: profile frame sync + conversion + QC (device)
 # ---------------------------------------------------------------------------
@@ -315,7 +312,10 @@ def stage2_core(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
     w12 = jnp.asarray(1 << np.arange(11, -1, -1), jnp.int32)
     cint = jnp.sum(fwin[:, 2:14] * w12, axis=1)
     tint = jnp.sum(fwin[:, 14:26] * w12, axis=1)
-    nib = fwin.reshape(-1, 8, 4) @ jnp.asarray([8, 4, 2, 1], jnp.int32)
+    # frame hex ships as one packed uint32 per frame (host formats %08x)
+    w32 = jnp.asarray(
+        [np.uint32(1) << np.uint32(31 - k) for k in range(32)], jnp.uint32)
+    hexpack = jnp.sum(fwin.astype(jnp.uint32) * w32, axis=1, dtype=jnp.uint32)
 
     times_raw = (edges_p[starts] - profstart) / fs
     frame_valid = jnp.arange(dims.max_frames) < n_frames
@@ -352,11 +352,148 @@ def stage2_core(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
     good &= ~((temp < t_lo) | (temp > t_hi) | (psal < s_lo) | (psal > s_hi))
 
     return dict(times=times, depth=z, temp=temp, cond=cond, psal=psal,
-                r400=fr400, r7500=fr7500, nibbles=nib, good=good,
+                r400=fr400, r7500=fr7500, hexpack=hexpack, good=good,
                 frame_valid=frame_valid, n_frames=n_frames, consumed=consumed)
 
 
-_stage2 = functools.partial(jax.jit, static_argnames=("dims", "fs"))(stage2_core)
+# ---------------------------------------------------------------------------
+# device trigger logic + fused back half (trigger -> bits -> headers ->
+# profile, one device program; reference AXCTDprocessor.py:374-408,433-535)
+# ---------------------------------------------------------------------------
+
+def trigger_tables(cfg: DecoderConfig, fs: float):
+    """Precomputed trigger parameters for the device trigger.
+
+    Window positions are integers, so every host float comparison
+    ``win >= fp + c*fs`` converts exactly to an integer threshold
+    (computed here in float64) — the device never does float index math
+    that would lose precision past 2^24 samples.
+    """
+    tr0, tr1 = cfg.trigger_range
+    trig_i = np.asarray([
+        int(math.ceil(4.5 * fs)),            # baseline lo:  rel >= .
+        int(math.floor(5.5 * fs)),           # baseline hi:  rel <= .
+        int(math.floor(tr0 * fs)) + 1,       # trigger:      rel >= . (== rel > tr0*fs)
+        int(math.ceil(tr1 * fs)) if tr1 > 0 else 0,   # timeout reach
+        int(tr1 * fs) if tr1 > 0 else 0,     # timeout profstart offset
+        1 if tr1 > 0 else 0,                 # timeout enabled
+        1 if cfg.compat == "fixed" else 0,   # elif-quirk bypass (PARITY #16)
+    ], np.int32)
+    trig_f = np.asarray([cfg.min_r400, cfg.min_dr7500], np.float32)
+    return trig_i, trig_f
+
+
+def header_rel_offsets(fs: float) -> np.ndarray:
+    """PCM offsets of the three header capture windows relative to the
+    pulse start (reference windows +-0.5 s, AXCTDprocessor.py:447-456)."""
+    rel = (2.3 - 0.5, 3.3 + 0.5, 10.5 - 0.5, 14.8 + 0.5, 20.0 - 0.5, 24.5 + 0.5)
+    return np.asarray([int(fs * r) for r in rel], dtype=np.int32)
+
+
+def trigger_core(r400, r7500, n_valid, trig_i, trig_f, dims: EngineDims,
+                 fs: float):
+    """Device port of :func:`trigger_scalars`: pulse detection, 7500 Hz
+    baseline, profile trigger (tone rise or hard timeout) over the real
+    (non-padded) power-window grid.  Returns (firstpulse|-1, mean7500,
+    profstart|-1) as device scalars.
+
+    The window count comes from ``r400`` itself (the time-sharded front
+    end's uniform grid has a couple more trailing windows than the
+    single-device ceil((n - n_power)/d_pcm) grid)."""
+    n_win = r400.shape[0]
+    idx = jnp.arange(n_win, dtype=jnp.int32)
+    win = idx * dims.d_pcm
+    n_power = int(fs / 10)
+    n_win_true = jnp.maximum((n_valid - n_power + dims.d_pcm - 1) // dims.d_pcm, 1)
+    n_win_true = jnp.minimum(n_win_true, n_win)
+    real = idx < n_win_true
+
+    hit = real & (r400 >= trig_f[0])
+    any_hit = jnp.any(hit)
+    fp = jnp.where(any_hit, win[jnp.argmax(hit)], -1).astype(jnp.int32)
+
+    rel = win - fp
+    base = real & (rel >= trig_i[0]) & (rel <= trig_i[1]) & ~jnp.isnan(r7500)
+    cnt = jnp.sum(base.astype(jnp.int32))
+    mean7500 = jnp.where(
+        cnt > 0, jnp.sum(jnp.where(base, r7500, 0.0)) / cnt, jnp.nan)
+    tone_path = ~jnp.isnan(mean7500)
+
+    trig = real & (rel >= trig_i[2]) & (r7500 - mean7500 >= trig_f[1])
+    any_trig = tone_path & jnp.any(trig)
+    last_rel = win[n_win_true - 1] - fp
+    timeout = (trig_i[5] > 0) & ((trig_i[6] > 0) | ~tone_path) & \
+        (last_rel >= trig_i[3])
+    profstart = jnp.where(any_trig, win[jnp.argmax(trig)],
+                          jnp.where(timeout, fp + trig_i[4], -1))
+    profstart = jnp.where(any_hit, profstart, -1).astype(jnp.int32)
+    mean7500 = jnp.where(any_hit, mean7500, jnp.nan)
+    return fp, mean7500, profstart
+
+
+def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
+                   trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
+                   temp_lut, limits, dims: EngineDims, fs: float):
+    """Everything after the DSP front end, fused on device: trigger
+    scalars, bit decisions + calibration, header trim/sync/decode, live
+    coefficient merge, and the profile stage.  Only the final result
+    tree crosses to the host (one blocking transfer)."""
+    from ..ops import header_device as hdr
+
+    fp, mean7500, profstart = trigger_core(r400, r7500, n_valid, trig_i,
+                                           trig_f, dims, fs)
+    # empty header windows when no pulse was found
+    big = jnp.int32(2 ** 30)
+    lo_mask = jnp.asarray([True, False, True, False, True, False])
+    hb = jnp.where(fp >= 0, fp + hdr_rel, jnp.where(lo_mask, big, -big))
+    s15 = stage15_core(s1p, s2p, edge_samples, n_edges, hb, fp + calib_off,
+                       dims)
+
+    h2_found, h2_frames, h2_usable = hdr.parse_header_window(
+        s15["h2_bits"], s15["h2_n"])
+    h3_found, h3_frames, h3_usable = hdr.parse_header_window(
+        s15["h3_bits"], s15["h3_n"])
+    v2, ok2, _, _, crash2 = hdr.decode_coefficients(h2_found, h2_frames)
+    v3, ok3, _, _, crash3 = hdr.decode_coefficients(h3_found, h3_frames)
+    ok2 &= ~crash2  # upstream int() ValueError discards the whole header
+    ok3 &= ~crash3
+    live_z, live_t, live_c = hdr.merge_live_coeffs(v2, ok2, v3, ok3,
+                                                   coeff_defaults)
+
+    out = stage2_core(s15["bits"], n_edges - 1, edge_samples, r400, r7500,
+                      mean7500, profstart, live_t, live_c, live_z,
+                      temp_lut, limits, dims, fs)
+    gate = profstart >= 0
+    out["frame_valid"] &= gate
+    out["good"] &= gate
+    out["n_frames"] = jnp.where(gate, out["n_frames"], 0)
+    del out["consumed"]  # stream-oriented; not needed on host
+    out.update(firstpulse=fp, mean7500=mean7500, profstart=profstart,
+               scale=s15["scale"],
+               h2_found=h2_found, h2_frames=h2_frames, h2_usable=h2_usable,
+               h3_found=h3_found, h3_frames=h3_frames, h3_usable=h3_usable)
+    return out
+
+
+def fused_core(pcm, n_valid, power_trig, sos_arr, bit_trig, trig_i, trig_f,
+               hdr_rel, calib_off, coeff_defaults, temp_lut, limits,
+               dims: EngineDims, fs: float, bitrate: float, bit_inset: int,
+               edge_pad: int, use_pallas: bool = False):
+    """Whole decode as one device program: stage 1 front end + back half."""
+    s1 = stage1_core(pcm, power_trig, sos_arr, bit_trig, dims, fs, bitrate,
+                     bit_inset, edge_pad, use_pallas=use_pallas,
+                     n_valid=n_valid)
+    return back_half_core(s1["r400"], s1["r7500"], s1["edge_samples"],
+                          s1["n_edges"], s1["s1"], s1["s2"], n_valid,
+                          trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
+                          temp_lut, limits, dims, fs)
+
+
+_fused = functools.partial(
+    jax.jit,
+    static_argnames=("dims", "fs", "bitrate", "bit_inset", "edge_pad",
+                     "use_pallas"),
+)(fused_core)
 
 
 # ---------------------------------------------------------------------------
@@ -403,9 +540,40 @@ def attach_profile(result: DecodeResult, out: dict) -> DecodeResult:
     result.r400 = list(np.asarray(out["r400"])[good])
     result.r7500 = list(np.asarray(out["r7500"])[good])
     # hexframes bypass QC (upstream contract); hexframes_qc is aligned
-    result.hexframes = nibbles_to_hex_np(np.asarray(out["nibbles"])[frame_valid])
-    result.hexframes_qc = nibbles_to_hex_np(np.asarray(out["nibbles"])[good])
+    packed = np.asarray(out["hexpack"]).view(np.uint32)
+    result.hexframes = [f"{w:08x}" for w in packed[frame_valid]]
+    result.hexframes_qc = [f"{w:08x}" for w in packed[good]]
     return result
+
+
+def finish_result(out: dict, fs_report, n: int, fs: float,
+                  cfg: DecoderConfig) -> DecodeResult:
+    """Build a DecodeResult from one fused-decode output tree (host side:
+    status, exact float64 metadata from the header frame arrays, report
+    formatting — all microsecond-scale numpy/python)."""
+    result = DecodeResult(fs=fs_report, numpoints=n)
+    fp = int(out["firstpulse"])
+    if fp < 0:
+        result.status = 0
+        return result
+    result.status = 1
+    result.firstpulse400 = fp
+
+    h2 = (frames_host.header_dict_from_device(out["h2_found"], out["h2_frames"])
+          if out["h2_usable"] else None)
+    h3 = (frames_host.header_dict_from_device(out["h3_found"], out["h3_frames"])
+          if out["h3_usable"] else None)
+    live = {"tcoeff": list(cfg.tcoeff_default), "ccoeff": list(cfg.ccoeff_default),
+            "zcoeff": list(cfg.zcoeff_default)}
+    md.merge_headers(result.metadata, h2, h3, live)
+
+    profstart = int(out["profstart"])
+    if profstart < 0:
+        return result
+    result.status = 2
+    result.profstartind = profstart
+    result.firstpointtime = profstart / fs
+    return attach_profile(result, out)
 
 
 def trigger_scalars(r400: np.ndarray, r7500: np.ndarray, cfg: DecoderConfig,
@@ -448,48 +616,40 @@ def trigger_scalars(r400: np.ndarray, r7500: np.ndarray, cfg: DecoderConfig,
     return firstpulse, mean7500, profstart
 
 
-def header_bounds(firstpulse: int, fs: float) -> np.ndarray:
-    """Inclusive PCM bounds of the three header capture windows
-    (reference windows +-0.5 s margin, AXCTDprocessor.py:447-456)."""
-    rel = (2.3 - 0.5, 3.3 + 0.5, 10.5 - 0.5, 14.8 + 0.5, 20.0 - 0.5, 24.5 + 0.5)
-    return np.asarray([firstpulse + int(fs * r) for r in rel], dtype=np.int32)
-
-
-def decode_headers_host(h2, h2_n, h3, h3_n, cfg: DecoderConfig, metadata: dict):
-    """trim+parse headers 2/3 from their capture-window bits (host)."""
-    headers: list = [None, None]
-    for slot, (bits_w, n_w) in enumerate(((h2, h2_n), (h3, h3_n))):
-        if n_w < 72 * 32:
-            continue
-        header_bits = frames_host.trim_header(bits_w[:n_w])
-        if len(header_bits) >= 72 * 32:
-            try:
-                headers[slot] = frames_host.parse_header(header_bits)
-            except ValueError:
-                pass
-    live = {"tcoeff": list(cfg.tcoeff_default), "ccoeff": list(cfg.ccoeff_default),
-            "zcoeff": list(cfg.zcoeff_default)}
-    md.merge_headers(metadata, headers[0], headers[1], live)
-    return live
-
-
 BUCKET_SECONDS = 15  # decode-length granularity: one compilation per bucket
+
+
+def fused_inputs(cfg: DecoderConfig, fs: float, dtype=np.float32):
+    """The replicated parameter arrays of the fused decode program."""
+    trig_i, trig_f = trigger_tables(cfg, fs)
+    return dict(
+        trig_i=jnp.asarray(trig_i), trig_f=jnp.asarray(trig_f),
+        hdr_rel=jnp.asarray(header_rel_offsets(fs)),
+        calib_off=jnp.asarray(int(fs * 3.8), jnp.int32),
+        coeff_defaults=jnp.asarray(
+            [cfg.zcoeff_default, cfg.tcoeff_default, cfg.ccoeff_default],
+            jnp.float32),
+        temp_lut=jnp.asarray(load_temp_lut(), dtype),
+        limits=jnp.asarray(qc_limits(cfg), dtype),
+    )
 
 
 def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
                         dtype=jnp.float32, pad_to_bucket: bool = True) -> DecodeResult:
     """Decode a conditioned (or raw-integer) waveform with the TPU engine.
 
-    Device/host split: stage 1 (everything expensive) -> ~120 KB of power
-    ratios to host -> trigger scalars -> stage 1.5 (bit decisions +
-    calibration + header-window compaction, on device) -> ~12 KB of
-    header bits to host -> metadata decode -> stage 2 (profile, on
-    device, with bits/edges never leaving the device) -> profile rows.
+    The whole decode — DSP front end, trigger logic, bit calibration,
+    header trim/sync/decode, profile frame sync, science conversion, QC —
+    is ONE device program (`fused_core`): a single dispatch and a single
+    blocking device->host transfer of the final result tree (profile
+    rows + header frame arrays, ~0.7 MB for a 10-minute drop).  The host
+    only reconstructs exact float64 metadata and formats the report.
 
     Waveforms are zero-padded up to 15 s length buckets so arbitrary file
     lengths share compilations (remote compiles cost minutes); the true
     length is carried as ``n_valid`` so device conditioning stays exact,
-    and padding is decode-neutral (no crossings, NaN power ratios).
+    and padding is decode-neutral (no crossings, NaN power ratios,
+    trigger grid clipped to real windows).
     """
     cfg = config or DecoderConfig()
     # the report prints fs verbatim: int for native rates, float after
@@ -521,45 +681,15 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
 
         power_trig = tonepower.trig_segments(
             dims.n_power, dims.d_pcm, [400.0, 7500.0, cfg.dead_freq], fs)
-    s1 = _stage1(x, jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
-                 jnp.asarray(bit_trig, dtype), dims, fs, float(cfg.bitrate),
-                 cfg.bit_inset, 100, use_pallas=use_pallas,
-                 n_valid=jnp.asarray(n, jnp.int32))
 
-    result = DecodeResult(fs=fs_report, numpoints=n)
-    r400 = np.asarray(s1["r400"], dtype=np.float64)
-    r7500 = np.asarray(s1["r7500"], dtype=np.float64)
-    firstpulse, mean7500, profstart = trigger_scalars(r400, r7500, cfg, fs,
-                                                      dims.d_pcm, n_valid=n)
-    if firstpulse < 0:
-        result.status = 0
-        return result
-    result.status = 1
-    result.firstpulse400 = firstpulse
-
-    s15 = _stage15(s1["s1"], s1["s2"], s1["edge_samples"], s1["n_edges"],
-                   jnp.asarray(header_bounds(firstpulse, fs)),
-                   jnp.asarray(firstpulse + int(fs * 3.8), jnp.int32), dims)
-    live = decode_headers_host(
-        np.asarray(s15["h2_bits"]), int(s15["h2_n"]),
-        np.asarray(s15["h3_bits"]), int(s15["h3_n"]), cfg, result.metadata)
-
-    if profstart < 0:
-        return result
-    result.status = 2
-    result.profstartind = profstart
-    result.firstpointtime = profstart / fs
-
-    out = _stage2(
-        s15["bits"], s1["n_edges"] - 1, s1["edge_samples"],
-        s1["r400"], s1["r7500"],
-        jnp.asarray(mean7500, dtype), jnp.asarray(profstart, jnp.int32),
-        jnp.asarray(live["tcoeff"], dtype), jnp.asarray(live["ccoeff"], dtype),
-        jnp.asarray(live["zcoeff"], dtype),
-        jnp.asarray(load_temp_lut(), dtype), jnp.asarray(qc_limits(cfg), dtype),
-        dims, fs,
-    )
-    return attach_profile(result, out)
+    out = _fused(x, jnp.asarray(n, jnp.int32),
+                 jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
+                 jnp.asarray(bit_trig, dtype),
+                 **fused_inputs(cfg, fs, dtype),
+                 dims=dims, fs=fs, bitrate=float(cfg.bitrate),
+                 bit_inset=cfg.bit_inset, edge_pad=100, use_pallas=use_pallas)
+    host = jax.device_get(out)  # the decode's one blocking transfer
+    return finish_result(host, fs_report, n, fs, cfg)
 
 
 def decode_wav_tpu(path: str, timerange=(0, -1), settings: dict | None = None,

@@ -20,7 +20,10 @@ Same contracts as the host versions:
   validity (a hex digit A-F in a decimal field marks the coefficient
   invalid rather than crashing, unlike the upstream int() call).
 
-Not yet wired into models.tpu_engine (ROADMAP: fully-fused decode).
+Wired into models.tpu_engine.back_half_core: the fused decode program
+runs trigger logic, bit decisions, header trim/sync/decode and the
+profile stage in one device dispatch; the host reconstructs exact
+float64 metadata from the returned (found, frames) arrays.
 """
 
 from __future__ import annotations
@@ -121,32 +124,103 @@ COEFF_BASES = {
     "c": (45, 42, 39, 36),
 }
 
+WINDOW_BITS = FRAME_BITS * 75  # trimmed header window capacity
+
+
+def parse_header_window(win_bits: jnp.ndarray, n_bits):
+    """One header capture window -> (found bool[72], frames i32[72,4],
+    usable bool).
+
+    Chains trim -> gather of the 75-frame window -> frame sync, entirely
+    on device.  ``usable`` mirrors the host gates: a window shorter than
+    72 frames before or after trimming never yields a header (the host
+    path skips parse_header entirely and reports the header as absent
+    rather than empty).
+    """
+    start, length = trim_header(win_bits, n_bits)
+    idx = jnp.arange(WINDOW_BITS)
+    trimmed = win_bits[jnp.clip(start + idx, 0, win_bits.shape[0] - 1)]
+    trimmed = jnp.where(idx < length, trimmed, 0)
+    found, frames = parse_header_frames(trimmed, length)
+    usable = (n_bits >= HEADER_FRAMES * FRAME_BITS) & \
+        (length >= HEADER_FRAMES * FRAME_BITS)
+    return found & usable, frames, usable
+
+
+def merge_live_coeffs(vals2, ok2, vals3, ok3, defaults):
+    """Device port of the header merge + live-coefficient adoption.
+
+    ``vals*/ok*`` are decode_coefficients outputs (rows z, t, c) with any
+    crashed header's ``ok`` rows already zeroed; ``defaults`` is f32[3,4]
+    (config defaults, same row order).  Semantics mirror
+    models.metadata.merge_headers: per-slot fill-in with header 3
+    winning, adoption of a full 4/4-valid set, and the upstream quirk
+    that **zcoeff adoption is gated on tcoeff validity** — including the
+    initializer leak: the adopted zcoeff row is the *metadata* row, whose
+    never-decoded slots hold the metadata initializer 1.0, not the
+    config default (reference AXCTDprocessor.py:534-535, parse.py:190).
+    """
+    ok = ok2 | ok3
+    merged = jnp.where(ok3, vals3, jnp.where(ok2, vals2, 0.0))
+    t_all = jnp.all(ok[1])
+    c_all = jnp.all(ok[2])
+    z_meta = jnp.where(ok[0], merged[0], 1.0)  # metadata zcoeff init is 1s
+    live_z = jnp.where(t_all, z_meta, defaults[0])
+    live_t = jnp.where(t_all, merged[1], defaults[1])
+    live_c = jnp.where(c_all, merged[2], defaults[2])
+    return live_z, live_t, live_c
+
 
 def decode_coefficients(found: jnp.ndarray, frames: jnp.ndarray):
     """All twelve conversion coefficients from header frame data.
 
-    Returns (values float32[3, 4], valid bool[3, 4]) ordered z, t, c.
-    A coefficient is valid iff its three frames were found, its two sign
-    nibbles are 0xB/0xD, and every digit nibble is decimal — the decimal
-    interpretation of ``sign d7...d1 / 1e7 * 10**(sign e2 e1)``.
+    Returns ``(values f32[3,4], valid bool[3,4], mant i32[3,4],
+    exp i32[3,4], crash bool)`` ordered z, t, c.
+
+    Decode contract = the upstream expression
+    ``int(chex[:9].replace(B,+).replace(D,-)) / 1e7 * 10**int(chex[9:])``
+    (reference parse.py:277-279): position 0 / 9 may be a sign nibble
+    (0xB='+', 0xD='-') **or a plain decimal digit** (9-digit mantissa /
+    3-digit exponent); every other nibble must be decimal.  Any other
+    nibble makes ``int()`` raise upstream — ``crash`` is True when any
+    coefficient with all three frames found is unparseable, so callers
+    can discard the whole header exactly like the host path's
+    try/except ValueError.  ``mant``/``exp`` are the exact signed
+    integers, letting the host reconstruct the float64 value
+    bit-identically; ``values`` is the float32 on-device version used by
+    the fused conversion stage.
     """
-    values = []
-    valids = []
+    values, valids, mants, exps = [], [], [], []
+    crash = jnp.asarray(False)
     for name in ("z", "t", "c"):
         for base in COEFF_BASES[name]:
             have = found[base] & found[base + 1] & found[base + 2]
             nib = jnp.concatenate([frames[base], frames[base + 1],
                                    frames[base + 2]])  # (12,) nibbles
-            sign_ok = jnp.isin(nib[0], jnp.asarray([0xB, 0xD])) & \
-                jnp.isin(nib[9], jnp.asarray([0xB, 0xD]))
-            digits_ok = jnp.all(nib[1:9] <= 9) & jnp.all(nib[10:] <= 9)
-            w = 10.0 ** jnp.arange(7, -1, -1, dtype=jnp.float32)
-            mant = jnp.sum(nib[1:9].astype(jnp.float32) * w)
-            msign = jnp.where(nib[0] == 0xB, 1.0, -1.0)
-            exp = nib[10].astype(jnp.float32) * 10 + nib[11].astype(jnp.float32)
-            esign = jnp.where(nib[9] == 0xB, 1.0, -1.0)
-            value = msign * mant / 1e7 * 10.0 ** (esign * exp)
+            m_sign_nib = jnp.isin(nib[0], jnp.asarray([0xB, 0xD]))
+            e_sign_nib = jnp.isin(nib[9], jnp.asarray([0xB, 0xD]))
+            m_ok = (m_sign_nib | (nib[0] <= 9)) & jnp.all(nib[1:9] <= 9)
+            e_ok = (e_sign_nib | (nib[9] <= 9)) & jnp.all(nib[10:] <= 9)
+
+            w8 = jnp.asarray(10 ** np.arange(7, -1, -1), jnp.int32)
+            d8 = jnp.sum(jnp.minimum(nib[1:9], 9) * w8)
+            msign = jnp.where(nib[0] == 0xD, -1, 1)
+            mant = jnp.where(m_sign_nib, msign * d8,
+                             jnp.minimum(nib[0], 9) * jnp.int32(10 ** 8) + d8)
+            d2 = jnp.minimum(nib[10], 9) * 10 + jnp.minimum(nib[11], 9)
+            esign = jnp.where(nib[9] == 0xD, -1, 1)
+            exp = jnp.where(e_sign_nib, esign * d2,
+                            jnp.minimum(nib[9], 9) * 100 + d2)
+
+            value = (mant.astype(jnp.float32) / jnp.float32(1e7)
+                     * 10.0 ** jnp.clip(exp, -40, 40).astype(jnp.float32))
             values.append(value)
-            valids.append(have & sign_ok & digits_ok)
+            valids.append(have & m_ok & e_ok)
+            mants.append(mant)
+            exps.append(exp)
+            crash |= have & ~(m_ok & e_ok)
     return (jnp.stack(values).reshape(3, 4),
-            jnp.stack(valids).reshape(3, 4))
+            jnp.stack(valids).reshape(3, 4),
+            jnp.stack(mants).reshape(3, 4),
+            jnp.stack(exps).reshape(3, 4),
+            crash)

@@ -1,12 +1,13 @@
 """Batched multi-drop decode — vmap over drops, data-parallel over a mesh.
 
 This is the archive-reprocessing path (BASELINE.json: "64 WAV drops
-vmapped through the fused demod+parse pipeline").  Both device stages of
-the TPU engine are vmapped over the batch dimension and, when a mesh is
-given, sharded over its ``dp`` axis so XLA runs each drop's decode on its
-own device slice with zero cross-device traffic (drops are independent).
-The microsecond-scale per-drop host interlude (trigger scalars + header
-decode) runs between the two device calls.
+vmapped through the fused demod+parse pipeline").  The TPU engine's
+whole fused decode program (front end + trigger + headers + profile) is
+vmapped over the batch dimension and, when a mesh is given, sharded over
+its ``dp`` axis so XLA runs each drop's decode on its own device slice
+with zero cross-device traffic (drops are independent).  The entire
+batch is one dispatch and one blocking device->host transfer; the host
+only reconstructs metadata and formats reports.
 """
 
 from __future__ import annotations
@@ -21,7 +22,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import tpu_engine as eng
 from ..models.parity_engine import DecodeResult
 from ..utils.config import DecoderConfig
-from ..utils.lut import load_temp_lut
 
 
 def pad_to_multiple(batch_arrays: list[np.ndarray], m: int):
@@ -63,148 +63,65 @@ def pad_batch(pcms: list[np.ndarray], dtype=None) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _batched_stage1(dims, fs, bitrate, bit_inset, edge_pad, mesh=None):
-    def one(pcm, n_valid, ptrig, sos, btrig):
-        return eng.stage1_core(pcm, ptrig, sos, btrig, dims,
-                               fs, bitrate, bit_inset, edge_pad,
-                               n_valid=n_valid)
+def _batched_fused(dims, fs, bitrate, bit_inset, edge_pad, mesh=None):
+    """vmapped whole-decode program (stage 1 + device back half)."""
+    def one(pcm, n_valid, ptrig, sos, btrig, trig_i, trig_f, hdr_rel,
+            calib_off, coeff_defaults, temp_lut, limits):
+        return eng.fused_core(pcm, n_valid, ptrig, sos, btrig, trig_i,
+                              trig_f, hdr_rel, calib_off, coeff_defaults,
+                              temp_lut, limits, dims, fs, bitrate,
+                              bit_inset, edge_pad)
 
-    fn = jax.vmap(one, in_axes=(0, 0, None, None, None))
+    fn = jax.vmap(one, in_axes=(0, 0) + (None,) * 10)
     if mesh is None:
         return jax.jit(fn)
     sh = NamedSharding(mesh, P("dp", None))
     sh1 = NamedSharding(mesh, P("dp"))
     rep = NamedSharding(mesh, P())
-    return jax.jit(fn, in_shardings=(sh, sh1, rep, rep, rep))
+    return jax.jit(fn, in_shardings=(sh, sh1) + (rep,) * 10)
 
 
 @functools.lru_cache(maxsize=8)
-def _batched_stage2(dims, fs, mesh=None):
-    def one(bits, n_bits, edges, r400, r7500, mean7500, profstart,
-            tco, cco, zco, lut, limits):
-        return eng.stage2_core(bits, n_bits, edges, r400, r7500, mean7500,
-                               profstart, tco, cco, zco, lut, limits, dims, fs)
+def _batched_back_half(dims, fs):
+    """vmapped device back half, for callers with their own front end
+    (the time-sharded dp x sp path); input sharding follows the caller's
+    arrays."""
+    def one(r400, r7500, edges, n_edges, s1p, s2p, n_valid, trig_i, trig_f,
+            hdr_rel, calib_off, coeff_defaults, temp_lut, limits):
+        return eng.back_half_core(r400, r7500, edges, n_edges, s1p, s2p,
+                                  n_valid, trig_i, trig_f, hdr_rel,
+                                  calib_off, coeff_defaults, temp_lut,
+                                  limits, dims, fs)
 
-    axes = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None)
-    fn = jax.vmap(one, in_axes=axes)
-    # sharding comes from the caller's device_put (inputs may originate on
-    # a different mesh, e.g. the time-sharded dp x sp front end)
-    return jax.jit(fn)
-
-
-@functools.lru_cache(maxsize=8)
-def _batched_stage15(dims):
-    fn = jax.vmap(
-        lambda p1, p2, edges, ne, hb, cc: eng.stage15_core(
-            p1, p2, edges, ne, hb, cc, dims))
-    return jax.jit(fn)
+    return jax.jit(jax.vmap(one, in_axes=(0,) * 7 + (None,) * 7))
 
 
-def run_interludes_and_profiles(s1: dict, n: int, cfg: DecoderConfig,
-                                fs: float, dims, mesh, dtype,
-                                lengths=None, fs_report=None) -> list[DecodeResult]:
-    """Shared back half of batched decode.
+def finish_batch(out_host: dict, cfg: DecoderConfig, fs: float, fs_report,
+                 lengths) -> list[DecodeResult]:
+    """Per-row host finish (status, exact metadata, report fields)."""
+    b = len(np.asarray(out_host["firstpulse"]))
+    return [
+        eng.finish_result({k: v[i] for k, v in out_host.items()},
+                          fs_report, int(lengths[i]), fs, cfg)
+        for i in range(b)
+    ]
 
-    Only the 25 Hz power series and the compacted header windows cross to
-    the host; bits and edges stay device-resident between stages.
-    ``lengths`` (true samples per row) keeps the hard-timeout trigger off
-    the zero-padded window-grid tail; ``fs_report`` preserves the int/
-    float distinction the report prints verbatim."""
-    r400_b = np.asarray(s1["r400"], dtype=np.float64)
-    r7500_b = np.asarray(s1["r7500"], dtype=np.float64)
-    b = r400_b.shape[0]
-    if fs_report is None:
-        fs_report = fs if fs != int(fs) else int(fs)
 
-    results: list[DecodeResult] = []
-    fp_b = np.zeros(b, np.int32)
-    mean_b = np.full(b, np.nan)
-    prof_b = np.full(b, -1, np.int64)
-    hb_b = np.zeros((b, 6), np.int32)
-    cc_b = np.zeros(b, np.int32)
-    for i in range(b):
-        result = DecodeResult(
-            fs=fs_report,
-            numpoints=n if lengths is None else int(lengths[i]))
-        firstpulse, mean7500, profstart = eng.trigger_scalars(
-            r400_b[i], r7500_b[i], cfg, fs, dims.d_pcm,
-            n_valid=None if lengths is None else int(lengths[i]))
-        if firstpulse >= 0:
-            result.status = 1
-            result.firstpulse400 = firstpulse
-            fp_b[i] = firstpulse
-            mean_b[i] = mean7500
-            prof_b[i] = profstart
-            hb_b[i] = eng.header_bounds(firstpulse, fs)
-            cc_b[i] = firstpulse + int(fs * 3.8)
-        results.append(result)
+def run_back_half_batched(s1: dict, cfg: DecoderConfig, fs: float, dims,
+                          lengths, fs_report) -> list[DecodeResult]:
+    """Device back half + host finish for an externally computed stage 1.
 
-    stage15 = _batched_stage15(dims)
-    s15 = stage15(s1["s1"], s1["s2"], s1["edge_samples"], s1["n_edges"],
-                  jnp.asarray(hb_b), jnp.asarray(cc_b))
-    h2_b = np.asarray(s15["h2_bits"])
-    h3_b = np.asarray(s15["h3_bits"])
-    h2n_b = np.asarray(s15["h2_n"])
-    h3n_b = np.asarray(s15["h3_n"])
-
-    prof_idx: list[int] = []
-    tco_b, cco2_b, zco_b = [], [], []
-    for i in range(b):
-        if results[i].status < 1:
-            continue
-        live = eng.decode_headers_host(h2_b[i], int(h2n_b[i]), h3_b[i],
-                                       int(h3n_b[i]), cfg, results[i].metadata)
-        if prof_b[i] >= 0:
-            results[i].status = 2
-            results[i].profstartind = int(prof_b[i])
-            results[i].firstpointtime = prof_b[i] / fs
-            prof_idx.append(i)
-            tco_b.append(live["tcoeff"])
-            cco2_b.append(live["ccoeff"])
-            zco_b.append(live["zcoeff"])
-
-    if not prof_idx:
-        return results
-
-    sel = np.asarray(prof_idx, np.int32)
-    n_sel = len(sel)
-    pad_m = mesh.shape["dp"] if mesh is not None else 1
-    n_pad = int(np.ceil(n_sel / pad_m)) * pad_m
-    sel_pad = np.concatenate([sel, np.repeat(sel[:1], n_pad - n_sel)])
-    sel_dev = jnp.asarray(sel_pad)
-
-    if mesh is not None:
-        sh1 = NamedSharding(mesh, P("dp"))
-        sh2 = NamedSharding(mesh, P("dp", None))
-        rep = NamedSharding(mesh, P())
-    else:
-        sh1 = sh2 = rep = None
-
-    def take(a, sh):
-        taken = jnp.take(a, sel_dev, axis=0)
-        return jax.device_put(taken, sh) if sh is not None else taken
-
-    def put(a, sh):
-        return jax.device_put(a, sh) if sh is not None else jnp.asarray(a)
-
-    coeff_pad = lambda v: np.concatenate(  # noqa: E731
-        [np.asarray(v, np.float64), np.repeat([v[0]], n_pad - n_sel, axis=0)])
-    stage2 = _batched_stage2(dims, fs, mesh)
-    out = stage2(
-        take(s15["bits"], sh2), take(s1["n_edges"], sh1) - 1,
-        take(s1["edge_samples"], sh2),
-        take(s1["r400"], sh2), take(s1["r7500"], sh2),
-        put(np.asarray(coeff_pad(mean_b[sel].reshape(-1, 1))[:, 0], np.float32), sh1),
-        put(np.asarray(coeff_pad(prof_b[sel].reshape(-1, 1))[:, 0], np.int32), sh1),
-        put(np.asarray(coeff_pad(tco_b), np.float32), sh2),
-        put(np.asarray(coeff_pad(cco2_b), np.float32), sh2),
-        put(np.asarray(coeff_pad(zco_b), np.float32), sh2),
-        put(np.asarray(load_temp_lut(), np.float32), rep),
-        put(eng.qc_limits(cfg), rep))
-    out_host = jax.tree.map(np.asarray, out)
-    for j, i in enumerate(prof_idx):
-        eng.attach_profile(results[i], {k: v[j] for k, v in out_host.items()})
-    return results
+    One dispatch, one blocking device->host transfer for the whole batch;
+    bits/edges/headers never leave the device."""
+    bh = _batched_back_half(dims, float(fs))
+    params = eng.fused_inputs(cfg, float(fs))
+    out = bh(s1["r400"], s1["r7500"], s1["edge_samples"], s1["n_edges"],
+             s1["s1"], s1["s2"], jnp.asarray(np.asarray(lengths, np.int32)),
+             params["trig_i"], params["trig_f"], params["hdr_rel"],
+             params["calib_off"], params["coeff_defaults"],
+             params["temp_lut"], params["limits"])
+    out_host = jax.device_get(out)
+    return finish_batch(out_host, cfg, fs, fs_report, lengths)
 
 
 def decode_batch(pcms, fs, config: DecoderConfig | None = None,
@@ -212,9 +129,11 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
                  lengths=None) -> list[DecodeResult]:
     """Decode a (B, N) batch of waveforms; returns B results.
 
+    The whole batch is ONE device dispatch (vmapped fused decode, dp-
+    sharded when a mesh is given) and ONE blocking device->host transfer.
     Integer batches are conditioned on device; for zero-padded ragged
     batches pass `lengths` (true samples per row) so DC removal averages
-    over real samples only."""
+    over real samples only and the trigger grid stops at real windows."""
     cfg = config or DecoderConfig()
     fs_report = float(fs) if isinstance(fs, float) else int(fs)
     fs = float(fs)
@@ -230,12 +149,16 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
     ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)
 
-    stage1 = _batched_stage1(dims, fs, float(cfg.bitrate), cfg.bit_inset, 100, mesh)
+    fused = _batched_fused(dims, fs, float(cfg.bitrate), cfg.bit_inset, 100,
+                           mesh)
     x = jnp.asarray(pcms) if np.issubdtype(pcms.dtype, np.integer) \
         else jnp.asarray(pcms, dtype)
-    s1 = stage1(x, jnp.asarray(lengths), jnp.asarray(ptrig, dtype),
-                jnp.asarray(sos, dtype), jnp.asarray(btrig, dtype))
-
-    results = run_interludes_and_profiles(s1, n, cfg, fs, dims, mesh, dtype,
-                                          lengths=lengths, fs_report=fs_report)
+    params = eng.fused_inputs(cfg, fs, dtype)
+    out = fused(x, jnp.asarray(lengths), jnp.asarray(ptrig, dtype),
+                jnp.asarray(sos, dtype), jnp.asarray(btrig, dtype),
+                params["trig_i"], params["trig_f"], params["hdr_rel"],
+                params["calib_off"], params["coeff_defaults"],
+                params["temp_lut"], params["limits"])
+    out_host = jax.device_get(out)
+    results = finish_batch(out_host, cfg, fs, fs_report, lengths)
     return results[:b_orig]

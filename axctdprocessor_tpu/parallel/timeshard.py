@@ -216,7 +216,7 @@ def decode_batch_timesharded(pcms, fs, config: DecoderConfig | None = None,
     end).  Integer batches stay integer through the host->device transfer
     (half the bytes on exactly the long-file path this mode exists for)
     and are conditioned on device."""
-    from .batch import run_interludes_and_profiles
+    from .batch import run_back_half_batched
 
     cfg = config or DecoderConfig()
     fs_report = float(fs) if isinstance(fs, float) else int(fs)
@@ -233,11 +233,8 @@ def decode_batch_timesharded(pcms, fs, config: DecoderConfig | None = None,
         from .batch import pad_to_multiple
 
         (pcms, lengths), _ = pad_to_multiple([pcms, lengths], mesh.shape["dp"])
-    n = pcms.shape[1]
 
     s1, dims = sharded_stage1(pcms, fs, cfg, mesh, dtype, lengths=lengths)
 
-    dp_mesh = Mesh(mesh.devices.reshape(-1)[: mesh.shape["dp"]], ("dp",))
-    results = run_interludes_and_profiles(s1, n, cfg, fs, dims, dp_mesh, dtype,
-                                          lengths=lengths, fs_report=fs_report)
+    results = run_back_half_batched(s1, cfg, fs, dims, lengths, fs_report)
     return results[:b_orig]

@@ -77,8 +77,11 @@ def test_parse_frames_and_coefficients(rng):
             if host["counter_found"][k]:
                 assert hexes[k] == host["frame_data"][k], (trial, k)
 
-        values, valid = dev.decode_coefficients(jnp.asarray(found), frames)
+        values, valid, mant, exp, crash = dev.decode_coefficients(
+            jnp.asarray(found), frames)
         values, valid = np.asarray(values), np.asarray(valid)
+        mant, exp = np.asarray(mant), np.asarray(exp)
+        assert not bool(crash)
         for ci, name in enumerate(("z", "t", "c")):
             np.testing.assert_array_equal(
                 valid[ci], host[f"{name}coeff_valid"], err_msg=f"{trial} {name}")
@@ -86,6 +89,10 @@ def test_parse_frames_and_coefficients(rng):
                 if valid[ci, j]:
                     assert abs(values[ci, j] - host[f"{name}coeff"][j]) <= \
                         1e-6 * max(abs(host[f"{name}coeff"][j]), 1e-12), (name, j)
+                    # exact integer mantissa/exponent reconstructs the
+                    # host float64 value bit-identically
+                    recon = int(mant[ci, j]) / 1e7 * 10 ** int(exp[ci, j])
+                    assert recon == host[f"{name}coeff"][j], (name, j)
 
 
 def test_corrupt_coefficient_marked_invalid(rng):
@@ -101,8 +108,37 @@ def test_corrupt_coefficient_marked_invalid(rng):
     start, length = dev.trim_header(buf, jnp.asarray(n, jnp.int32))
     window = jnp.roll(buf, -start)
     found, frames = dev.parse_header_frames(window, length)
-    values, valid = dev.decode_coefficients(found, frames)
+    values, valid, _, _, crash = dev.decode_coefficients(found, frames)
     valid = np.asarray(valid)
     assert not valid[0, 0]          # zcoeff[0] invalid
     assert valid[0, 1:].all()       # other z coefficients fine
     assert valid[1:].all()          # t and c untouched
+    # upstream int() would raise here -> fused decode discards the header
+    assert bool(crash)
+
+
+def test_digit_sign_coefficient_form(rng):
+    """Upstream int() accepts a plain digit where the sign nibble usually
+    goes (9-digit mantissa / 3-digit exponent); the device decode and the
+    exact integer reconstruction must agree with the host."""
+    hdr = simulator.encode_header_frames()
+    bits = hdr.copy()
+    # zcoeff[3] spans frames 12-14: chex "512345678" + "b07"
+    bits[12] = simulator.encode_header_frame(12, "5123")
+    bits[13] = simulator.encode_header_frame(13, "4567")
+    bits[14] = simulator.encode_header_frame(14, "8b07")
+    stream = np.concatenate([np.ones(1200, np.int64), bits.ravel()])
+
+    host = host_frames.parse_header(host_frames.trim_header(stream))
+    expected = int("512345678") / 1e7 * 10 ** 7
+    assert host["zcoeff_valid"][3] and host["zcoeff"][3] == expected
+
+    buf, n = _pad(stream)
+    found, frames, usable = dev.parse_header_window(buf, jnp.asarray(n, jnp.int32))
+    assert bool(usable)
+    values, valid, mant, exp, crash = dev.decode_coefficients(found, frames)
+    assert not bool(crash)
+    assert bool(np.asarray(valid)[0, 3])
+    assert int(np.asarray(mant)[0, 3]) / 1e7 * 10 ** int(np.asarray(exp)[0, 3]) \
+        == expected
+    assert abs(float(np.asarray(values)[0, 3]) - expected) < 1e-4 * expected

@@ -207,3 +207,42 @@ def test_fs_report_type_preserved():
     res_i = tpu_engine.decode_waveform_tpu(pcm, 44100)
     assert isinstance(res_f.fs, float) and f"{res_f.fs}" == "44100.0"
     assert isinstance(res_i.fs, int) and f"{res_i.fs}" == "44100"
+
+
+def test_trigger_core_matches_host(rng):
+    """Device trigger (exact integer window thresholds) must reproduce
+    the host trigger_scalars over random series and configs."""
+    import jax.numpy as jnp
+    from axctdprocessor_tpu.models import tpu_engine as eng
+    from axctdprocessor_tpu.utils.config import DecoderConfig
+
+    fs = 44100.0
+    d_pcm = int(round(fs / 25))
+    n_power = int(fs / 10)
+    for trial in range(40):
+        n_win = int(rng.integers(30, 500))
+        r400 = rng.normal(1.2, 0.9, n_win).astype(np.float32)
+        r7500 = rng.normal(0.8, 1.0, n_win).astype(np.float32)
+        if trial % 4 == 0:
+            r400 -= 10.0  # no pulse at all
+        if trial % 3 == 0:
+            r7500[:] = np.nan  # no usable baseline -> timeout path
+        cfg = DecoderConfig(
+            trigger_range=(float(rng.integers(0, 12)),
+                           float(rng.choice([-1.0, 3.0, 7.5]))),
+            compat="fixed" if trial % 2 else "strict")
+        n = n_power + d_pcm * n_win  # yields exactly n_win real windows
+        dims = eng.EngineDims.for_waveform(n, fs, 800, 39)
+        host = eng.trigger_scalars(r400.astype(np.float64),
+                                   r7500.astype(np.float64), cfg, fs, d_pcm,
+                                   n_valid=n)
+        trig_i, trig_f = eng.trigger_tables(cfg, fs)
+        fp, mean, prof = eng.trigger_core(
+            jnp.asarray(r400), jnp.asarray(r7500), jnp.asarray(n, jnp.int32),
+            jnp.asarray(trig_i), jnp.asarray(trig_f), dims, fs)
+        assert int(fp) == host[0], trial
+        assert int(prof) == host[2], trial
+        if np.isnan(host[1]):
+            assert np.isnan(float(mean)), trial
+        else:
+            assert abs(float(mean) - host[1]) < 1e-5, trial
