@@ -464,15 +464,27 @@ def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
                       mean7500, profstart, live_t, live_c, live_z,
                       temp_lut, limits, dims, fs)
     gate = profstart >= 0
-    out["frame_valid"] &= gate
-    out["good"] &= gate
-    out["n_frames"] = jnp.where(gate, out["n_frames"], 0)
-    del out["consumed"]  # stream-oriented; not needed on host
-    out.update(firstpulse=fp, mean7500=mean7500, profstart=profstart,
-               scale=s15["scale"],
-               h2_found=h2_found, h2_frames=h2_frames, h2_usable=h2_usable,
-               h3_found=h3_found, h3_frames=h3_frames, h3_usable=h3_usable)
-    return out
+    frame_valid = out["frame_valid"] & gate
+    good = out["good"] & gate
+
+    # the result tree is packed into FIVE arrays: device->host transfers
+    # over the relay cost ~10 ms latency per leaf regardless of size, so
+    # a 20-leaf tree would spend more wall time on leaf latency than on
+    # the actual bytes (measured: 21 leaves 0.30 s vs 1 leaf 0.08 s for
+    # the same 1.6 MB)
+    rows = jnp.stack([out["times"], out["depth"], out["temp"], out["cond"],
+                      out["psal"], out["r400"], out["r7500"],
+                      good.astype(jnp.float32),
+                      frame_valid.astype(jnp.float32)])
+    hdr = jnp.concatenate([
+        h2_found.astype(jnp.int32), h3_found.astype(jnp.int32),
+        h2_frames.reshape(-1), h3_frames.reshape(-1)])
+    scal_i = jnp.stack([fp, profstart, jnp.where(gate, out["n_frames"], 0),
+                        h2_usable.astype(jnp.int32),
+                        h3_usable.astype(jnp.int32)])
+    scal_f = jnp.stack([mean7500, s15["scale"]])
+    return dict(rows=rows, hexpack=out["hexpack"], hdr=hdr,
+                scal_i=scal_i, scal_f=scal_f)
 
 
 def fused_core(pcm, n_valid, power_trig, sos_arr, bit_trig, trig_i, trig_f,
@@ -528,22 +540,27 @@ def qc_limits(cfg: DecoderConfig, dtype=np.float32) -> np.ndarray:
                       dtype=dtype)
 
 
-def attach_profile(result: DecodeResult, out: dict) -> DecodeResult:
-    """Fold stage-2 device outputs into a DecodeResult (host trim/format)."""
-    good = np.asarray(out["good"])
-    frame_valid = np.asarray(out["frame_valid"])
-    result.time = list(np.asarray(out["times"])[good])
-    result.depth = list(np.asarray(out["depth"])[good])
-    result.temperature = list(np.asarray(out["temp"])[good])
-    result.conductivity = list(np.asarray(out["cond"])[good])
-    result.salinity = list(np.asarray(out["psal"])[good])
-    result.r400 = list(np.asarray(out["r400"])[good])
-    result.r7500 = list(np.asarray(out["r7500"])[good])
+def attach_profile(result: DecodeResult, rows: np.ndarray,
+                   hexpack: np.ndarray) -> DecodeResult:
+    """Fold the packed stage-2 rows into a DecodeResult (host format)."""
+    rows = np.asarray(rows)
+    good = rows[7] > 0.5
+    frame_valid = rows[8] > 0.5
+    result.time = list(rows[0][good])
+    result.depth = list(rows[1][good])
+    result.temperature = list(rows[2][good])
+    result.conductivity = list(rows[3][good])
+    result.salinity = list(rows[4][good])
+    result.r400 = list(rows[5][good])
+    result.r7500 = list(rows[6][good])
     # hexframes bypass QC (upstream contract); hexframes_qc is aligned
-    packed = np.asarray(out["hexpack"]).view(np.uint32)
+    packed = np.asarray(hexpack).view(np.uint32)
     result.hexframes = [f"{w:08x}" for w in packed[frame_valid]]
     result.hexframes_qc = [f"{w:08x}" for w in packed[good]]
     return result
+
+
+HDR_N = 72  # found flags per header in the packed hdr array
 
 
 def finish_result(out: dict, fs_report, n: int, fs: float,
@@ -552,28 +569,32 @@ def finish_result(out: dict, fs_report, n: int, fs: float,
     status, exact float64 metadata from the header frame arrays, report
     formatting — all microsecond-scale numpy/python)."""
     result = DecodeResult(fs=fs_report, numpoints=n)
-    fp = int(out["firstpulse"])
+    scal_i = np.asarray(out["scal_i"])
+    fp = int(scal_i[0])
     if fp < 0:
         result.status = 0
         return result
     result.status = 1
     result.firstpulse400 = fp
 
-    h2 = (frames_host.header_dict_from_device(out["h2_found"], out["h2_frames"])
-          if out["h2_usable"] else None)
-    h3 = (frames_host.header_dict_from_device(out["h3_found"], out["h3_frames"])
-          if out["h3_usable"] else None)
+    hdr = np.asarray(out["hdr"])
+    h2 = (frames_host.header_dict_from_device(
+              hdr[:HDR_N] > 0, hdr[2 * HDR_N: 6 * HDR_N].reshape(HDR_N, 4))
+          if scal_i[3] else None)
+    h3 = (frames_host.header_dict_from_device(
+              hdr[HDR_N: 2 * HDR_N] > 0, hdr[6 * HDR_N:].reshape(HDR_N, 4))
+          if scal_i[4] else None)
     live = {"tcoeff": list(cfg.tcoeff_default), "ccoeff": list(cfg.ccoeff_default),
             "zcoeff": list(cfg.zcoeff_default)}
     md.merge_headers(result.metadata, h2, h3, live)
 
-    profstart = int(out["profstart"])
+    profstart = int(scal_i[1])
     if profstart < 0:
         return result
     result.status = 2
     result.profstartind = profstart
     result.firstpointtime = profstart / fs
-    return attach_profile(result, out)
+    return attach_profile(result, out["rows"], out["hexpack"])
 
 
 def trigger_scalars(r400: np.ndarray, r7500: np.ndarray, cfg: DecoderConfig,

@@ -99,7 +99,7 @@ def _batched_back_half(dims, fs):
 def finish_batch(out_host: dict, cfg: DecoderConfig, fs: float, fs_report,
                  lengths) -> list[DecodeResult]:
     """Per-row host finish (status, exact metadata, report fields)."""
-    b = len(np.asarray(out_host["firstpulse"]))
+    b = len(np.asarray(out_host["scal_i"]))
     return [
         eng.finish_result({k: v[i] for k, v in out_host.items()},
                           fs_report, int(lengths[i]), fs, cfg)

@@ -1,9 +1,16 @@
 #!/usr/bin/env python3
 """Benchmark: full AXCTD decode throughput on one TPU chip.
 
-Metric: realtime factor — seconds of 44.1 kHz AXCTD audio fully decoded
-(WAV-conditioned PCM -> QC'd T/C/S/z profile + header metadata) per
-second of wall clock, for the fused TPU engine on a 600 s drop.
+Primary metric: realtime factor — seconds of 44.1 kHz AXCTD audio fully
+decoded (WAV-conditioned PCM -> QC'd T/C/S/z profile + header metadata)
+per second of wall clock, for the fused single-dispatch TPU engine on a
+600 s drop.  Extra fields in the same JSON line report the batched
+archive throughput (16 x 60 s int16 drops, one vmapped dispatch) and
+the single-file wall time.
+
+Before timing, an on-TPU smoke check compares the fused Pallas tone
+kernel against the MXU GEMM path on 1 s of audio — Mosaic-lowering
+regressions fail the bench loudly instead of silently skewing it.
 
 ``vs_baseline`` compares against the upstream implementation measured on
 this container's CPU (BASELINE_MEASURED.json: 22.66x realtime; the
@@ -26,6 +33,79 @@ import numpy as np
 REFERENCE_RTF = 22.66  # see BASELINE_MEASURED.json
 DURATION = 600.0
 REPEATS = 3
+BATCH_DROPS = 16
+BATCH_SECONDS = 60.0
+
+
+def pallas_smoke(fs=44100.0):
+    """Fused Pallas tone kernel vs the unfused MXU path, on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from axctdprocessor_tpu.ops import goertzel, iir
+    from axctdprocessor_tpu.ops.pallas import tonepower
+
+    if jax.default_backend() != "tpu":
+        return False
+    rng = np.random.default_rng(3)
+    t = np.arange(int(fs)) / fs
+    x = (0.4 * np.sin(2 * np.pi * 400 * t)
+         + 0.2 * np.sin(2 * np.pi * 7500 * t)
+         + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+    window, stride = int(fs / 10), int(round(fs / 25))
+    freqs = [400.0, 7500.0, 3000.0]
+
+    segs = tonepower.trig_segments(window, stride, freqs, fs)
+    r400, r7500 = jax.jit(
+        lambda v, s: tonepower.fused_tone_ratios(v, s, window, stride)
+    )(jnp.asarray(x), jnp.asarray(segs))
+
+    trig = goertzel.tone_matrix(window, freqs, fs, dtype=np.float32)
+
+    def unfused(v, tm):
+        p = goertzel.framed_tone_power_tiled(v, window, stride, tm)
+        sm = jnp.stack([iir.boxsmooth_lag(p[:, i], 5) for i in range(3)],
+                       axis=1)
+        return jnp.log10(sm[:, 0] / sm[:, 2]), jnp.log10(sm[:, 1] / sm[:, 2])
+
+    e400, e7500 = jax.jit(unfused)(jnp.asarray(x), jnp.asarray(trig))
+    np.testing.assert_allclose(np.asarray(r400), np.asarray(e400),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r7500), np.asarray(e7500),
+                               rtol=2e-4, atol=2e-4)
+    return True
+
+
+def batch_throughput(cfg_fs=44100):
+    """Aggregate audio-sec/sec for a 16-drop vmapped int16 batch decode."""
+    from axctdprocessor_tpu.models import simulator
+    from axctdprocessor_tpu.parallel.batch import decode_batch
+
+    rng = np.random.default_rng(7)
+    spec = simulator.SimSpec(duration=BATCH_SECONDS, profile_start=40.0,
+                             seed=21)
+    pcm, truth = simulator.synthesize(spec)
+    scale = 28000 / np.max(np.abs(pcm))
+    base = np.round(pcm * scale).astype(np.int16)
+    # distinct rows (independent noise) so no cross-drop caching can help
+    batch = np.stack([
+        np.clip(base + rng.integers(-300, 300, len(base)), -32768, 32767)
+        .astype(np.int16)
+        for _ in range(BATCH_DROPS)
+    ])
+
+    results = decode_batch(batch, cfg_fs)  # warmup + compile
+    ok = sum(r.status == 2 and r.metadata["serial_no"] == truth["serial_no"]
+             for r in results)
+    assert ok == BATCH_DROPS, f"batch warmup: {ok}/{BATCH_DROPS} decoded"
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        decode_batch(batch, cfg_fs)
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    return BATCH_DROPS * BATCH_SECONDS / wall, wall
 
 
 def main():
@@ -34,12 +114,14 @@ def main():
     from axctdprocessor_tpu.models import simulator
     from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
 
+    smoke = pallas_smoke()
+
     spec = simulator.SimSpec(duration=DURATION, profile_start=33.0, seed=11)
     pcm, truth = simulator.synthesize(spec)
     wav = os.path.join(tempfile.gettempdir(), "bench_drop600.wav")
     simulator.write_wav(wav, pcm, spec.fs)
 
-    # warmup: compile both stages and the (slow first) device->host path
+    # warmup: compile the fused program and the (slow first) D2H path
     res = decode_wav_tpu(wav)
     assert res.status == 2 and len(res.time) > 1000, (
         f"warmup decode failed: status={res.status} rows={len(res.time)}")
@@ -54,11 +136,18 @@ def main():
     wall = min(times)
     rtf = DURATION / wall
 
+    batch_rtf, batch_wall = batch_throughput()
+
     print(json.dumps({
         "metric": "decode_realtime_factor",
         "value": round(rtf, 1),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / REFERENCE_RTF, 2),
+        "single_wall_s": round(wall, 3),
+        "batch_rtf": round(batch_rtf, 1),
+        "batch_drops": BATCH_DROPS,
+        "batch_wall_s": round(batch_wall, 3),
+        "pallas_smoke": bool(smoke),
     }))
 
 
