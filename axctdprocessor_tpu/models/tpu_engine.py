@@ -84,10 +84,12 @@ class EngineDims:
         d_pcm = int(round(fs / 25))
         n_win = max(int(math.ceil((n - n_power) / d_pcm)), 1)
         max_edges = int(n * bitrate / fs * 1.25) + 64
-        # crossing capacity must be duration-based, not sample-based: the
-        # filtered band reaches ~1300 Hz (<=2600 crossings/s), so n//8
-        # alone would silently truncate at sample rates below ~13 kHz
-        max_crossings = max(n // 8, int(n / fs * 4000) + 1024)
+        # crossing capacity is duration-based: the demod filter band ends
+        # at ~1300 Hz, so even noise-dominated audio crosses < 3000
+        # times/s — 4000/s is a safe ceiling, and capacity directly
+        # scales the pointer-doubling chain's gather cost (a sample-based
+        # n//8 bound was 40% larger at 44.1 kHz for no coverage gain)
+        max_crossings = max(int(n / fs * 4000) + 1024, 4096)
         return cls(
             n=n, n_power=n_power, d_pcm=d_pcm, n_win=n_win, npcm=npcm,
             max_crossings=max_crossings,
@@ -177,9 +179,8 @@ def stage1_core(pcm, power_trig, sos_arr, bit_trig,
         # there would otherwise demodulate into garbage frames)
         is_cross &= jnp.arange(dims.n) < n_valid - 1
     big = np.iinfo(np.int32).max // 2
-    crossings, = jnp.where(is_cross, size=dims.max_crossings, fill_value=big)
-    crossings = crossings.astype(jnp.int32)
-    n_cross = jnp.sum(is_cross.astype(jnp.int32))
+    crossings, n_cross = chain_ops.compact_indices(
+        is_cross, dims.max_crossings, big)
 
     edge_idx, n_edges = chain_ops.enumerate_bit_edges(
         crossings, n_cross, fs, bitrate, dims.max_edges)

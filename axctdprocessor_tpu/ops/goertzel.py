@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 
 def tone_matrix(window: int, freqs, fs: float, dtype=np.float64) -> np.ndarray:
@@ -92,10 +93,18 @@ def tone_power_at(x: jnp.ndarray, starts: jnp.ndarray, window: int, trig) -> jnp
 
     `starts` may contain clamped/invalid entries; caller masks.  Returns
     (len(starts), F).
+
+    Lowered as a short correlation over the whole waveform followed by a
+    narrow row gather: a (len(starts), window) frame gather costs ~2x the
+    wall time of computing the projection at EVERY sample with conv and
+    gathering only the (len(starts), 2F) results (TPU gathers pay per
+    element; the conv rides the MXU).
     """
     trig = jnp.asarray(trig, dtype=x.dtype)
     starts = jnp.clip(starts, 0, x.shape[0] - window)
-    frames = x[starts[:, None] + jnp.arange(window)[None, :]]
-    proj = frames @ trig
+    # correlation: out[f, t] = sum_k x[t + k] * trig[k, f]
+    proj_all = lax.conv_general_dilated(
+        x[None, None, :], trig.T[:, None, :], (1,), "VALID")[0]  # (2F, n-w+1)
+    proj = proj_all.T[starts]
     re, im = proj[:, 0::2], proj[:, 1::2]
     return jnp.sqrt(re * re + im * im)

@@ -70,11 +70,10 @@ def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int
     assert block % dims.d_pcm == 0
     n_win_blk = block // dims.d_pcm
     cross_halo = dims.npcm + bit_inset + 1
-    # crossing capacity must be duration-based, not sample-based (the
-    # filtered band is <= ~1300 Hz -> <= 2600 crossings/s); block//8 alone
-    # silently truncates below ~13 kHz sample rates, mirroring the bound
+    # crossing capacity is duration-based (the filtered band ends at
+    # ~1300 Hz; 4000/s is a safe ceiling), mirroring the bound
     # EngineDims.for_waveform uses for the single-device engine
-    max_cross_blk = max(block // 8, int(block / fs * 4000) + 256)
+    max_cross_blk = max(int(block / fs * 4000) + 256, 1024)
     fwd = [(i, (i + 1) % n_sp) for i in range(n_sp)]   # send right
     bwd = [(i, (i - 1) % n_sp) for i in range(n_sp)]   # send left
 
@@ -131,7 +130,7 @@ def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int
             # no bit edges in the zero-padded tail (filter ring-down there
             # would otherwise demodulate into garbage frames)
             is_c &= gpos_blk < nv - 1
-            pos, = jnp.where(is_c, size=max_cross_blk, fill_value=BIG)
+            pos, _ = chain_ops.compact_indices(is_c, max_cross_blk, BIG)
             probes = goertzel.tone_power_at(
                 row, jnp.clip(pos, 0, block - 1) + bit_inset, dims.npcm, btrig)
             gp = jnp.where(pos < BIG, pos + sp_i * block, BIG)

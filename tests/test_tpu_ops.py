@@ -141,3 +141,35 @@ def test_sosfilt_fft_matches_scipy_steady_state():
         mine = np.asarray(iir.sosfilt_fft(sos, jnp.asarray(x)))
         # transient differs only within ~the impulse-response length
         np.testing.assert_allclose(mine[3000:], ref[3000:], rtol=1e-6, atol=1e-8)
+
+
+def test_chain_enumerate_level_cap(rng):
+    """Capped-level doubling (sliding-window tail fill) must equal the
+    uncapped chain for arbitrary advancing successor tables."""
+    import jax.numpy as jnp
+
+    for trial in range(6):
+        m = int(rng.integers(300, 4000))
+        nxt = np.minimum(np.arange(m) + rng.integers(1, 5, m), m - 1)
+        nxt[-1] = m - 1
+        k = int(rng.integers(50, 2 * m))
+        full = chain.chain_enumerate(jnp.asarray(nxt), 0, k, max_level=32)
+        for P in (2, 5, 8):
+            capped = chain.chain_enumerate(jnp.asarray(nxt), 0, k, max_level=P)
+            np.testing.assert_array_equal(np.asarray(full), np.asarray(capped),
+                                          err_msg=f"trial {trial} P={P}")
+
+
+def test_compact_indices_matches_where(rng):
+    import jax.numpy as jnp
+
+    for trial in range(6):
+        n = int(rng.integers(100, 5000))
+        mask = rng.random(n) < rng.choice([0.01, 0.2, 0.9])
+        size = int(rng.integers(8, n))
+        fill = 2 ** 30
+        want = np.asarray(jnp.where(jnp.asarray(mask), size=size,
+                                    fill_value=fill)[0])
+        got, cnt = chain.compact_indices(jnp.asarray(mask), size, fill)
+        np.testing.assert_array_equal(np.asarray(got), want, err_msg=str(trial))
+        assert int(cnt) == int(mask.sum())
