@@ -1,0 +1,206 @@
+"""Segmented decode: fixed-shape segment programs + streamed upload.
+
+The monolithic fused engine compiles one program per 15 s length bucket,
+whose compile time and HBM footprint scale with file length (a >30 min
+recording is one giant FFT graph, and every new bucket costs a
+multi-minute remote compile).  This module bounds both:
+
+* **stage 1 runs per ~60 s segment** with a fixed shape shared by every
+  file length — one compilation, ever.  Each segment gets a raw left
+  halo (IIR ring-in for the overlap-save FFT filter) and right halo
+  (power-window straddle + crossing probes), the same halo math as the
+  SP time-sharded path (parallel/timeshard.py), but sequential on one
+  device instead of parallel over a mesh.
+* **host->device upload streams per segment** while earlier segments
+  compute — the dispatch queue is never blocked on the whole file's
+  bytes (the transfer link, not compute, bounds single-file latency).
+* the variable-size remainder (power smoothing, trigger, bit-edge
+  chain, headers, profile) reuses the fused back half; its compile cost
+  is bounded by padding the segment count to a power of two, so all
+  file lengths share O(log) assemble programs.
+
+Segment length is 1500 power-window strides (= exactly 60 s at any fs
+where fs/25 is integral), keeping the global 25 Hz window grid aligned
+across segment boundaries.
+
+Decode results match the monolithic engine (same grid, same chain, same
+back half); the only numeric difference is the overlap-save filter halo
+versus one whole-file FFT (both approximate the same IIR to ~1e-6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import chain as chain_ops
+from ..ops import goertzel, iir
+from ..utils.config import DecoderConfig
+from . import tpu_engine as eng
+from .parity_engine import DecodeResult
+
+SEG_STRIDES = 1500          # segment length in power-window strides (~60 s)
+LEFT_HALO = 4096            # raw ring-in for the filter (transient < ~1k)
+BIG = np.iinfo(np.int32).max // 2
+
+
+def _seg_geometry(fs: float):
+    d_pcm = int(round(fs / 25))
+    n_power = int(fs / 10)
+    seg_len = SEG_STRIDES * d_pcm
+    right = n_power  # covers window straddle and crossing-probe lookahead
+    c_seg = max(int(seg_len / fs * 4000) + 256, 1024)
+    return d_pcm, n_power, seg_len, right, c_seg
+
+
+@functools.lru_cache(maxsize=8)
+def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
+                     integer_input: bool):
+    """One fixed-shape stage-1 segment: conditioning, overlap-save FFT
+    filter, tone powers on the global grid, crossings + per-crossing
+    probes.  Compiled once per (fs, config geometry) for every file."""
+    d_pcm, n_power, seg_len, right, c_seg = _seg_geometry(fs)
+    ext_len = LEFT_HALO + seg_len + right
+    nfft = iir.next_pow2(ext_len)
+
+    def run(seg_ext, dc, peak, k_off, n_valid, ptrig, sos_arr, btrig):
+        x = seg_ext.astype(jnp.float32) if integer_input else seg_ext
+        gpos_ext = jnp.arange(ext_len) + (k_off - LEFT_HALO)
+        x = jnp.where((gpos_ext >= 0) & (gpos_ext < n_valid),
+                      (x - dc) / peak, 0.0)
+
+        response = eng.sos_response_on_device(sos_arr, nfft)
+        spec = jnp.fft.rfft(x, nfft) * response
+        filt = jnp.fft.irfft(spec, nfft)[:ext_len].astype(jnp.float32)
+
+        # tone powers on the global 25 Hz grid (raw; smoothing is global);
+        # body length seg_len + n_power gives exactly SEG_STRIDES windows
+        body = x[LEFT_HALO : LEFT_HALO + seg_len + right]
+        powers = goertzel.framed_tone_power_tiled(body, n_power, d_pcm,
+                                                  ptrig)  # (SEG_STRIDES, F)
+
+        # crossings within [0, seg_len) local, global-position masked
+        fbody = filt[LEFT_HALO:]
+        sgn = jnp.where(fbody >= 0, 1, -1)
+        is_c = sgn[:seg_len] != sgn[1 : seg_len + 1]
+        gpos_blk = jnp.arange(seg_len) + k_off
+        is_c &= (gpos_blk >= edge_pad) & (gpos_blk < n_valid - 1)
+        pos, _ = chain_ops.compact_indices(is_c, c_seg, BIG)
+        probes = goertzel.tone_power_at(
+            fbody, jnp.clip(pos, 0, seg_len - 1) + bit_inset, npcm, btrig)
+        gpos = jnp.where(pos < BIG, pos + k_off, BIG).astype(jnp.int32)
+        return powers, gpos, probes[:, 0], probes[:, 1]
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=8)
+def _assemble_program(n_seg: int, dims, fs: float, bitrate: float):
+    """Concatenate per-segment outputs, sort/compact crossings, run the
+    bit-edge chain, and hand off to the fused device back half."""
+    def run(powers, gpos, p1, p2, n_valid, trig_i, trig_f, hdr_rel,
+            calib_off, coeff_defaults, temp_lut, limits):
+        # powers: (n_seg, SEG_STRIDES, F) -> global smoothed ratios
+        p = powers.reshape(n_seg * SEG_STRIDES, -1)
+        sm = [iir.boxsmooth_lag(p[:, i], 5) for i in range(3)]
+        r400 = jnp.log10(sm[0] / sm[2])
+        r7500 = jnp.log10(sm[1] / sm[2])
+
+        # segments are time-ordered and sorted within, so merging is a
+        # mask compaction (cumsum + scatter + gather), not a 4M argsort
+        g = gpos.reshape(-1)
+        total = g.shape[0]
+        slots, n_cross = chain_ops.compact_indices(g < BIG, total, total)
+        safe_slot = jnp.clip(slots, 0, total - 1)
+        g_s = jnp.where(slots < total, g[safe_slot], BIG)
+        p1_s = p1.reshape(-1)[safe_slot]
+        p2_s = p2.reshape(-1)[safe_slot]
+
+        edge_idx, n_edges = chain_ops.enumerate_bit_edges(
+            g_s, n_cross, fs, bitrate, dims.max_edges)
+        safe = jnp.clip(edge_idx, 0, g_s.shape[0] - 1)
+        return eng.back_half_core(
+            r400, r7500, g_s[safe], n_edges, p1_s[safe], p2_s[safe],
+            n_valid, trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
+            temp_lut, limits, dims, fs)
+
+    return jax.jit(run)
+
+
+def _next_pow2_count(k: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(k, 1)))), 0)
+
+
+def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
+                              dtype=jnp.float32) -> DecodeResult:
+    """Decode with per-segment stage 1 (streamed upload, bounded compile).
+
+    Same result contract as decode_waveform_tpu; integer input is
+    conditioned on device with host-computed raw-int DC/peak statistics
+    (the same float64 statistics the WAV reader uses).
+    """
+    cfg = config or DecoderConfig()
+    fs_report = float(fs) if isinstance(fs, float) else int(fs)
+    fs = float(fs)
+    pcm = np.asarray(pcm)
+    n = int(len(pcm))
+    d_pcm, n_power, seg_len, right, c_seg = _seg_geometry(fs)
+    npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
+
+    integer_input = bool(np.issubdtype(pcm.dtype, np.integer))
+    if integer_input:
+        dc = float(np.mean(pcm))
+        peak = max(float(np.max(np.abs(pcm))), 1.0) if n else 1.0
+    else:
+        dc, peak = 0.0, 1.0  # float input arrives conditioned
+        pcm = pcm.astype(np.float32)
+
+    n_seg = max(int(np.ceil(n / seg_len)), 1)
+    n_seg_pad = _next_pow2_count(n_seg)
+    dims = eng.EngineDims.for_waveform(n_seg_pad * seg_len, fs, cfg.bitrate,
+                                       npcm)
+    power_trig, bit_trig, sos = eng.engine_tables(cfg, fs, dims)
+
+    seg_fn = _segment_program(fs, npcm, cfg.bit_inset, 100, integer_input)
+    pt = jnp.asarray(power_trig, jnp.float32)
+    so = jnp.asarray(sos, jnp.float32)
+    bt = jnp.asarray(bit_trig, jnp.float32)
+    dc_d = jnp.asarray(np.float32(dc))
+    peak_d = jnp.asarray(np.float32(peak))
+    nv = jnp.asarray(n, jnp.int32)
+
+    ext_len = LEFT_HALO + seg_len + right
+    outs = []
+    for k in range(n_seg):
+        lo = k * seg_len - LEFT_HALO
+        hi = k * seg_len + seg_len + right
+        ext = np.zeros(ext_len, dtype=pcm.dtype)
+        src_lo, src_hi = max(lo, 0), min(hi, n)
+        if src_hi > src_lo:
+            ext[src_lo - lo : src_hi - lo] = pcm[src_lo:src_hi]
+        # async: upload segment k+1 while k computes
+        outs.append(seg_fn(jnp.asarray(ext), dc_d, peak_d,
+                           jnp.asarray(k * seg_len, jnp.int32), nv,
+                           pt, so, bt))
+    if n_seg_pad > n_seg:
+        # one shared zero-segment output for every padded slot (zero
+        # input + out-of-range positions -> no crossings, zero powers)
+        zero = seg_fn(jnp.asarray(np.zeros(ext_len, pcm.dtype)), dc_d,
+                      peak_d, jnp.asarray(n_seg * seg_len, jnp.int32), nv,
+                      pt, so, bt)
+        outs.extend([zero] * (n_seg_pad - n_seg))
+
+    assemble = _assemble_program(n_seg_pad, dims, fs, float(cfg.bitrate))
+    params = eng.fused_inputs(cfg, fs)
+    out = assemble(jnp.stack([o[0] for o in outs]),
+                   jnp.stack([o[1] for o in outs]),
+                   jnp.stack([o[2] for o in outs]),
+                   jnp.stack([o[3] for o in outs]),
+                   nv, params["trig_i"], params["trig_f"], params["hdr_rel"],
+                   params["calib_off"], params["coeff_defaults"],
+                   params["temp_lut"], params["limits"])
+    host = jax.device_get(out)  # the decode's one blocking transfer
+    return eng.finish_result(host, fs_report, n, fs, cfg)

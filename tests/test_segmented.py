@@ -1,0 +1,71 @@
+"""Segmented decode vs the monolithic fused engine."""
+
+import numpy as np
+import pytest
+
+from axctdprocessor_tpu.models import segmented, simulator
+from axctdprocessor_tpu.models.tpu_engine import decode_waveform_tpu
+
+
+@pytest.fixture(scope="module")
+def drop130():
+    """A 130 s drop: 3 segments, padded to 4 (exercises zero segments)."""
+    spec = simulator.SimSpec(duration=130.0, profile_start=33.0, seed=91)
+    pcm, truth = simulator.synthesize(spec)
+    return pcm, truth
+
+
+def _conditioned(pcm):
+    return ((pcm - np.mean(pcm)) / np.max(np.abs(pcm))).astype(np.float32)
+
+
+def test_segmented_matches_monolithic(drop130):
+    pcm, truth = drop130
+    x = _conditioned(pcm)
+    mono = decode_waveform_tpu(x, 44100)
+    seg = segmented.decode_waveform_segmented(x, 44100)
+    assert seg.status == mono.status == 2
+    assert seg.metadata == mono.metadata
+    assert seg.firstpulse400 == mono.firstpulse400
+    assert seg.profstartind == mono.profstartind
+    a, b = set(seg.hexframes), set(mono.hexframes)
+    assert len(a & b) / max(len(a | b), 1) > 0.98
+    # values on the common frames agree
+    common = min(len(seg.time), len(mono.time))
+    assert common > 0.95 * max(len(seg.time), len(mono.time))
+
+
+def test_segmented_int16_device_conditioning(drop130):
+    """Raw int16 through the segmented path (host f64 DC/peak, device
+    conditioning) decodes like the host-conditioned float path."""
+    pcm, truth = drop130
+    raw = np.round(pcm * 28000 / np.max(np.abs(pcm))).astype(np.int16)
+    res_i = segmented.decode_waveform_segmented(raw, 44100)
+    cond = ((raw.astype(np.float64) - np.mean(raw))
+            / np.max(np.abs(raw))).astype(np.float32)
+    res_f = segmented.decode_waveform_segmented(cond, 44100)
+    assert res_i.status == 2
+    assert res_i.metadata["serial_no"] == truth["serial_no"]
+    assert res_i.hexframes == res_f.hexframes
+
+
+def test_segment_program_shared_across_lengths(drop130):
+    """A different file length reuses the cached segment program — no new
+    stage-1 compilation, the whole point of segmenting."""
+    pcm, truth = drop130
+    x = _conditioned(pcm)
+    seg_info_before = segmented._segment_program.cache_info()
+    res70 = segmented.decode_waveform_segmented(x[: int(70 * 44100)], 44100)
+    seg_info_after = segmented._segment_program.cache_info()
+    assert res70.status == 2
+    assert res70.metadata["serial_no"] == truth["serial_no"]
+    # same (fs, geometry) key -> cache hit, no new segment program
+    assert seg_info_after.misses == seg_info_before.misses
+
+
+def test_segmented_no_pulse():
+    rng = np.random.default_rng(5)
+    noise = (rng.standard_normal(int(70 * 44100)) * 0.3).astype(np.float32)
+    res = segmented.decode_waveform_segmented(noise, 44100)
+    assert res.status == 0
+    assert res.time == []
