@@ -122,23 +122,51 @@ def sos_response_on_device(sos_arr, nfft: int):
     return h
 
 
+def condition_integer(pcm, n: int, n_valid):
+    """Device conditioning of raw integer PCM: DC removal + peak
+    normalization (reference readAXCTDwavfile, AXCTDprocessor.py:55-57).
+
+    Shipping int16 halves the host->device transfer.  ``n_valid`` (true
+    length of a zero-padded buffer) keeps the mean exact: zeros
+    contribute nothing to the sum or the peak, but averaging over the
+    padded length would dilute the DC estimate and shift every zero
+    crossing."""
+    xf = pcm.astype(jnp.float32)
+    denom = jnp.float32(n) if n_valid is None else n_valid.astype(jnp.float32)
+    mean = jnp.sum(xf) / denom
+    peak = jnp.maximum(jnp.max(jnp.abs(xf)), 1.0)
+    x = (xf - mean) / peak
+    if n_valid is not None:
+        x = jnp.where(jnp.arange(n) < n_valid, x, 0.0)
+    return x
+
+
+def decimate2_on_device(x, n_valid, decim_sos):
+    """Zero-phase decimation by 2 (the reference's scipy.signal.decimate
+    for >50 kHz inputs, AXCTDprocessor.py:60-62): the order-8 Chebyshev-I
+    anti-alias filter applied with |H|^2 in the FFT domain (the spectral
+    equivalent of filtfilt's forward-backward pass) and a stride-2
+    slice.  Input is conditioned float PCM at the raw rate; returns
+    (half-rate PCM, half-rate n_valid)."""
+    n = x.shape[0]
+    nfft = iir.next_pow2(n + 4096)
+    h = sos_response_on_device(decim_sos, nfft)
+    zero_phase = (h * jnp.conj(h)).real
+    spec = jnp.fft.rfft(x, nfft) * zero_phase
+    filtered = jnp.fft.irfft(spec, nfft)[:n]
+    x2 = filtered[::2]
+    if n_valid is None:
+        return x2, None
+    n_valid2 = (n_valid + 1) // 2
+    x2 = jnp.where(jnp.arange(x2.shape[0]) < n_valid2, x2, 0.0)
+    return x2, n_valid2
+
+
 def stage1_core(pcm, power_trig, sos_arr, bit_trig,
                 dims: EngineDims, fs: float, bitrate: float, bit_inset: int,
                 edge_pad: int, use_pallas: bool = False, n_valid=None):
-    # integer PCM is conditioned on device (mean-removal + peak
-    # normalization) — shipping int16 halves the host->device transfer.
-    # `n_valid` (true length of a zero-padded row in a batch) keeps the
-    # mean exact: zeros contribute nothing to the sum or the peak, but
-    # averaging over the padded length would dilute the DC estimate and
-    # shift every zero crossing.
     if jnp.issubdtype(pcm.dtype, jnp.integer):
-        xf = pcm.astype(jnp.float32)
-        denom = jnp.float32(dims.n) if n_valid is None else n_valid.astype(jnp.float32)
-        mean = jnp.sum(xf) / denom
-        peak = jnp.maximum(jnp.max(jnp.abs(xf)), 1.0)
-        x = (xf - mean) / peak
-        if n_valid is not None:
-            x = jnp.where(jnp.arange(dims.n) < n_valid, x, 0.0)
+        x = condition_integer(pcm, dims.n, n_valid)
     else:
         x = pcm
     # A. tone powers on the uniform whole-file grid, smoothed, as ratios.
@@ -491,9 +519,24 @@ def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
 def fused_core(pcm, n_valid, power_trig, sos_arr, bit_trig, trig_i, trig_f,
                hdr_rel, calib_off, coeff_defaults, temp_lut, limits,
                dims: EngineDims, fs: float, bitrate: float, bit_inset: int,
-               edge_pad: int, use_pallas: bool = False):
-    """Whole decode as one device program: stage 1 front end + back half."""
-    s1 = stage1_core(pcm, power_trig, sos_arr, bit_trig, dims, fs, bitrate,
+               edge_pad: int, use_pallas: bool = False,
+               decimate2: bool = False, decim_sos=None):
+    """Whole decode as one device program: stage 1 front end + back half.
+
+    With ``decimate2`` the raw input is at 2x the decode rate (>50 kHz
+    WAVs): conditioning + zero-phase anti-alias decimation run on device
+    first, so high-rate files keep the half-size integer transfer
+    (reference AXCTDprocessor.py:60-62 does this on host with scipy).
+    ``dims``/``fs`` always describe the post-decimation stream."""
+    if decimate2:
+        if jnp.issubdtype(pcm.dtype, jnp.integer):
+            x = condition_integer(pcm, pcm.shape[0], n_valid)
+        else:
+            x = pcm
+        x, n_valid = decimate2_on_device(x, n_valid, decim_sos)
+    else:
+        x = pcm
+    s1 = stage1_core(x, power_trig, sos_arr, bit_trig, dims, fs, bitrate,
                      bit_inset, edge_pad, use_pallas=use_pallas,
                      n_valid=n_valid)
     return back_half_core(s1["r400"], s1["r7500"], s1["edge_samples"],
@@ -505,7 +548,7 @@ def fused_core(pcm, n_valid, power_trig, sos_arr, bit_trig, trig_i, trig_f,
 _fused = functools.partial(
     jax.jit,
     static_argnames=("dims", "fs", "bitrate", "bit_inset", "edge_pad",
-                     "use_pallas"),
+                     "use_pallas", "decimate2"),
 )(fused_core)
 
 
@@ -674,20 +717,30 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     trigger grid clipped to real windows).
     """
     cfg = config or DecoderConfig()
-    # the report prints fs verbatim: int for native rates, float after
-    # host decimation (the reference's `fs /= 2` makes it print "48000.0")
-    fs_report = float(fs) if isinstance(fs, float) else int(fs)
-    fs = float(fs)
+    # >50 kHz input decimates by 2 on device; the report then prints the
+    # halved rate as a float, exactly like the reference's host `fs /= 2`
+    decimate2 = float(fs) > 50000.0
+    if decimate2:
+        fs = float(fs) / 2.0
+        fs_report = fs
+    else:
+        # the report prints fs verbatim: int for native rates, float
+        # after decimation (so e.g. 48 kHz from a 96 kHz WAV is "48000.0")
+        fs_report = float(fs) if isinstance(fs, float) else int(fs)
+        fs = float(fs)
     pcm = np.asarray(pcm)
-    n = int(len(pcm))
+    n_raw = int(len(pcm))
+    rate_mult = 2 if decimate2 else 1
     if pad_to_bucket:
-        unit = int(BUCKET_SECONDS * fs)
-        n_padded = max(int(np.ceil(n / unit)) * unit, unit)
-        if n_padded != n:
-            pcm = np.concatenate([pcm, np.zeros(n_padded - n, pcm.dtype)])
+        unit = int(BUCKET_SECONDS * fs) * rate_mult
+        n_padded = max(int(np.ceil(n_raw / unit)) * unit, unit)
+        if n_padded != n_raw:
+            pcm = np.concatenate([pcm, np.zeros(n_padded - n_raw, pcm.dtype)])
     n_padded = len(pcm)
+    # decode-rate quantities (post-decimation when decimate2)
+    n = (n_raw + 1) // 2 if decimate2 else n_raw
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
-    dims = EngineDims.for_waveform(n_padded, fs, cfg.bitrate, npcm)
+    dims = EngineDims.for_waveform(n_padded // rate_mult, fs, cfg.bitrate, npcm)
     power_trig, bit_trig, sos = engine_tables(cfg, fs, dims)
 
     # integer PCM ships as-is (conditioned on device); floats take the
@@ -704,12 +757,15 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
         power_trig = tonepower.trig_segments(
             dims.n_power, dims.d_pcm, [400.0, 7500.0, cfg.dead_freq], fs)
 
-    out = _fused(x, jnp.asarray(n, jnp.int32),
+    decim_sos = (jnp.asarray(iir.design_decim_sos(), dtype)
+                 if decimate2 else None)
+    out = _fused(x, jnp.asarray(n_raw, jnp.int32),
                  jnp.asarray(power_trig, dtype), jnp.asarray(sos, dtype),
                  jnp.asarray(bit_trig, dtype),
                  **fused_inputs(cfg, fs, dtype),
                  dims=dims, fs=fs, bitrate=float(cfg.bitrate),
-                 bit_inset=cfg.bit_inset, edge_pad=100, use_pallas=use_pallas)
+                 bit_inset=cfg.bit_inset, edge_pad=100, use_pallas=use_pallas,
+                 decimate2=decimate2, decim_sos=decim_sos)
     host = jax.device_get(out)  # the decode's one blocking transfer
     return finish_result(host, fs_report, n, fs, cfg)
 
@@ -718,13 +774,13 @@ def decode_wav_tpu(path: str, timerange=(0, -1), settings: dict | None = None,
                    compat: str = "strict") -> DecodeResult:
     """Read + decode a WAV with the TPU engine.
 
-    int16 mono WAVs at <=50 kHz ship raw to the device and are
-    conditioned there (half the transfer bytes); other encodings go
-    through the host conditioning path."""
+    int16 mono WAVs ship raw to the device and are conditioned there
+    (half the transfer bytes); >50 kHz rates additionally decimate by 2
+    on device.  Other encodings go through the host conditioning path."""
     from ..utils.wavio import read_wav, read_wav_raw16
 
     cfg = resolve_settings(settings, compat=compat)
-    raw = read_wav_raw16(path, timerange)
+    raw = read_wav_raw16(path, timerange, allow_highrate=True)
     if raw is not None:
         return decode_waveform_tpu(raw[0], raw[1], config=cfg)
     pcm, fs = read_wav(path, timerange)

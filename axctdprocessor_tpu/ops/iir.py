@@ -34,6 +34,18 @@ def design_sos(fs: float, use_bandpass: bool = False) -> np.ndarray:
     return signal.butter(6, 1200, btype="lowpass", fs=fs, output="sos")
 
 
+def design_decim_sos(q: int = 2) -> np.ndarray:
+    """Anti-alias filter of the reference's decimator, as SOS.
+
+    scipy.signal.decimate's IIR default is ``cheby1(8, 0.05, 0.8/q)``
+    applied zero-phase (reference AXCTDprocessor.py:60-62); the device
+    decimator evaluates |H|^2 in the FFT domain instead of filtfilt.
+    """
+    from scipy import signal
+
+    return signal.cheby1(8, 0.05, 0.8 / q, output="sos")
+
+
 def _affine_combine(left, right):
     """Compose 2x2 affine maps held as six flat arrays (right after left).
 

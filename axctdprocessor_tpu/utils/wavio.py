@@ -46,16 +46,17 @@ def read_wav(path: str, timerange=(0, -1)):
     return pcm, fs
 
 
-def read_wav_raw16(path: str, timerange=(0, -1)):
+def read_wav_raw16(path: str, timerange=(0, -1), allow_highrate=False):
     """Raw int16 mono samples + fs, or None if this WAV needs the full
-    conditioning path (stereo uses ch0; >50 kHz requires the decimator;
-    non-int16 needs float conditioning).
+    conditioning path (stereo uses ch0; non-int16 needs float
+    conditioning; >50 kHz needs the decimator unless the caller
+    decimates on device — ``allow_highrate``).
 
     The TPU engine conditions integer PCM on device, so this read avoids
     both the host float conversion and half the host->device bytes.
     """
     fs, snd = wavfile.read(path, mmap=True)
-    if fs > 50000 or snd.dtype != np.int16:
+    if (fs > 50000 and not allow_highrate) or snd.dtype != np.int16:
         return None
     if snd.ndim == 2:
         snd = snd[:, 0]

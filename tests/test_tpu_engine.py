@@ -246,3 +246,30 @@ def test_trigger_core_matches_host(rng):
             assert np.isnan(float(mean)), trial
         else:
             assert abs(float(mean) - host[1]) < 1e-5, trial
+
+
+def test_highrate_device_decimation(tmp_path):
+    """An 88.2 kHz int16 WAV decodes through the raw device path
+    (conditioning + zero-phase decimation on device) and matches the
+    host scipy-decimated float path."""
+    from axctdprocessor_tpu.models import simulator
+    from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
+
+    spec = simulator.SimSpec(fs=88200, duration=42.0, profile_start=33.0,
+                             seed=31)
+    pcm, truth = simulator.synthesize(spec)
+    wav = str(tmp_path / "hi.wav")
+    simulator.write_wav(wav, pcm, spec.fs)
+
+    res = decode_wav_tpu(wav)  # raw int16 + device decimation
+    assert res.status == 2
+    assert res.metadata["serial_no"] == truth["serial_no"]
+    assert isinstance(res.fs, float) and res.fs == 44100.0
+    assert res.numpoints == (int(42.0 * 88200) + 1) // 2
+
+    host_pcm, host_fs = read_wav(wav)  # scipy decimate path
+    assert host_fs == 44100.0
+    ref = decode_waveform_tpu(host_pcm, host_fs)
+    assert ref.metadata == res.metadata
+    a, b = set(res.hexframes), set(ref.hexframes)
+    assert len(a & b) / max(len(a | b), 1) > 0.98
