@@ -67,12 +67,15 @@ def partition_corpus(wav_paths: list[str], process_id: int,
 
 
 def reprocess_corpus_multihost(wav_paths: list[str], out_dir: str,
-                               coordinator: str | None = None, **kwargs) -> dict:
+                               coordinator: str | None = None,
+                               num_processes: int | None = None,
+                               process_id: int | None = None,
+                               **kwargs) -> dict:
     """Archive reprocessing across hosts: partition, then run this host's
     share with parallel.archive (per-host manifest under out_dir/host<k>)."""
     from .archive import reprocess_corpus
 
-    pid, count = init_distributed(coordinator)
+    pid, count = init_distributed(coordinator, num_processes, process_id)
     mine = partition_corpus(wav_paths, pid, count)
     host_dir = os.path.join(out_dir, f"host{pid}") if count > 1 else out_dir
     return reprocess_corpus(mine, host_dir, **kwargs)

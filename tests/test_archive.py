@@ -151,3 +151,52 @@ def test_mixed_encoding_batch_not_demoted(corpus, tmp_path):
     for name in ("drop0.txt", "stereo.txt", "drop1.txt"):
         text = open(os.path.join(out, name)).read()
         assert "Probe Serial: 00123456" in text, name
+
+def test_multihost_two_process_jax_distributed(corpus, tmp_path):
+    """Real jax.distributed coordination: a coordinator + worker process
+    pair on localhost each decode their disjoint corpus slice; merged
+    manifests cover the whole corpus exactly once."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out = str(tmp_path / "mh")
+    code = """
+import json, sys
+from axctdprocessor_tpu.parallel.multihost import reprocess_corpus_multihost
+paths = json.loads(sys.argv[1])
+m = reprocess_corpus_multihost(
+    paths, sys.argv[2], coordinator=sys.argv[3],
+    num_processes=2, process_id=int(sys.argv[4]), batch_size=2)
+print("HOST_DONE", sys.argv[4], len(m["files"]))
+"""
+    import json as _json
+    import os as _os
+
+    env = dict(_os.environ)  # conftest already stripped the TPU plugin
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, _json.dumps(corpus), out,
+             f"127.0.0.1:{port}", str(k)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for k in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        out_text, _ = p.communicate(timeout=420)
+        logs.append(out_text)
+        assert p.returncode == 0, out_text[-2000:]
+
+    merged = {}
+    for k in (0, 1):
+        man = json.load(open(os.path.join(out, f"host{k}", "manifest.json")))
+        for name, entry in man["files"].items():
+            assert name not in merged, f"{name} decoded on both hosts"
+            merged[name] = entry
+    assert set(merged) == {os.path.basename(p) for p in corpus}
+    assert all(v["status"] == "done" for v in merged.values()), logs
