@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-resume", action="store_true",
                    help="Archive mode: re-decode files already in the manifest")
     p.add_argument("--quiet", action="store_true", help="Suppress progress output")
+    p.add_argument("--diagnostics", action="store_true",
+                   help="Append per-point R400/dR7500 signal columns to the "
+                        "profile table (default output is byte-identical "
+                        "to the upstream format)")
     return p
 
 
@@ -152,7 +156,8 @@ def main(argv=None) -> int:
     if not args.quiet:
         print("\nProfile processing complete- writing output files")
     cfg = resolve_settings(settings, compat=compat)
-    write_report(args.output, result, args.input, timerange, settings, cfg)
+    write_report(args.output, result, args.input, timerange, settings, cfg,
+                 diagnostics=args.diagnostics)
     return 0
 
 

@@ -682,6 +682,7 @@ def trigger_scalars(r400: np.ndarray, r7500: np.ndarray, cfg: DecoderConfig,
 
 
 BUCKET_SECONDS = 15  # decode-length granularity: one compilation per bucket
+AUTO_SEGMENT_SECONDS = 300  # auto-route longer files through segmented decode
 
 
 def fused_inputs(cfg: DecoderConfig, fs: float, dtype=np.float32):
@@ -700,7 +701,8 @@ def fused_inputs(cfg: DecoderConfig, fs: float, dtype=np.float32):
 
 
 def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
-                        dtype=jnp.float32, pad_to_bucket: bool = True) -> DecodeResult:
+                        dtype=jnp.float32, pad_to_bucket: bool = True,
+                        mode: str = "auto") -> DecodeResult:
     """Decode a conditioned (or raw-integer) waveform with the TPU engine.
 
     The whole decode — DSP front end, trigger logic, bit calibration,
@@ -715,8 +717,21 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     length is carried as ``n_valid`` so device conditioning stays exact,
     and padding is decode-neutral (no crossings, NaN power ratios,
     trigger grid clipped to real windows).
+
+    ``mode``: "auto" routes files over AUTO_SEGMENT_SECONDS through the
+    segmented engine (models.segmented — streamed per-segment upload
+    overlapping compute, length-independent compilation; ~2x lower wall
+    on the tunnel-attached chip), "monolithic"/"segmented" force a path.
+    High-rate (>50 kHz) input always decodes monolithically (the device
+    decimator lives in the fused program).
     """
     cfg = config or DecoderConfig()
+    if mode != "monolithic" and float(fs) <= 50000.0:
+        n0 = len(pcm)
+        if mode == "segmented" or n0 > AUTO_SEGMENT_SECONDS * float(fs):
+            from .segmented import decode_waveform_segmented
+
+            return decode_waveform_segmented(pcm, fs, config=cfg)
     # >50 kHz input decimates by 2 on device; the report then prints the
     # halved rate as a float, exactly like the reference's host `fs /= 2`
     decimate2 = float(fs) > 50000.0

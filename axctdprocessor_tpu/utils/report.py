@@ -21,7 +21,8 @@ from .config import DecoderConfig
 
 
 def format_report(result: DecodeResult, wavfile: str, timerange,
-                  echo_settings: dict, config: DecoderConfig) -> str:
+                  echo_settings: dict, config: DecoderConfig,
+                  diagnostics: bool = False) -> str:
     md = result.metadata
     fs = result.fs
     lines = []
@@ -68,18 +69,30 @@ def format_report(result: DecodeResult, wavfile: str, timerange,
     out(f'Trigger range: {tr[0]} sec to {tr[1] if tr[1] >= 0 else "N/A"} sec\n')
 
     out("\nAXCTD Profile:\n")
+    # the upstream engine computes per-point r400/r7500 signal diagnostics
+    # but never writes them (AXCTDprocessor.py:107-108); --diagnostics
+    # appends them as extra columns while the default stays byte-identical
+    diag_hdr = ", R400, dR7500" if diagnostics else ""
     out("Time (s), Hex Frame, Depth (m), Temperature (C), "
-        "Conductivity (mS/cm), Salinity (PSU)\n")
-    for t, hf, z, temp, cond, psal in zip(
+        f"Conductivity (mS/cm), Salinity (PSU){diag_hdr}\n")
+    diag_cols = (result.r400, result.r7500) if diagnostics else ((), ())
+    for k, (t, hf, z, temp, cond, psal) in enumerate(zip(
         result.time, result.hexframes, result.depth, result.temperature,
         result.conductivity, result.salinity,
-    ):
-        out(f"{t:8.2f},  {hf},{z:10.2f},{temp:16.2f},{cond:21.2f},{psal:15.2f}\n")
+    )):
+        row = f"{t:8.2f},  {hf},{z:10.2f},{temp:16.2f},{cond:21.2f},{psal:15.2f}"
+        if diagnostics:
+            r4 = diag_cols[0][k] if k < len(diag_cols[0]) else float("nan")
+            r75 = diag_cols[1][k] if k < len(diag_cols[1]) else float("nan")
+            row += f",{r4:8.2f},{r75:8.2f}"
+        out(row + "\n")
 
     return "".join(lines)
 
 
 def write_report(path: str, result: DecodeResult, wavfile: str, timerange,
-                 echo_settings: dict, config: DecoderConfig) -> None:
+                 echo_settings: dict, config: DecoderConfig,
+                 diagnostics: bool = False) -> None:
     with open(path, "w") as f:
-        f.write(format_report(result, wavfile, timerange, echo_settings, config))
+        f.write(format_report(result, wavfile, timerange, echo_settings,
+                              config, diagnostics=diagnostics))

@@ -176,3 +176,22 @@ def test_noisy_signal_byte_parity(tmp_path_factory, tmp_path):
     wav = str(tmp_path_factory.mktemp("wavnoisy") / "noisy.wav")
     simulator.write_wav(wav, pcm, spec.fs)
     _assert_byte_parity(wav, tmp_path, label="noisy")
+
+
+def test_diagnostics_columns(default_drop_wav, tmp_path):
+    """--diagnostics appends R400/dR7500 columns; without it the output
+    is unchanged (byte parity preserved by default)."""
+    from axctdprocessor_tpu import cli
+
+    wav, truth = default_drop_wav
+    base, diag = str(tmp_path / "base.txt"), str(tmp_path / "diag.txt")
+    assert cli.main(["-i", wav, "-o", base, "--quiet"]) == 0
+    assert cli.main(["-i", wav, "-o", diag, "--quiet", "--diagnostics"]) == 0
+    b, d = open(base).read().splitlines(), open(diag).read().splitlines()
+    assert len(b) == len(d)
+    hdr = next(i for i, l in enumerate(d) if l.startswith("Time (s)"))
+    assert d[hdr].endswith(", R400, dR7500")
+    assert b[hdr + 1] == d[hdr + 1][: len(b[hdr + 1])]
+    assert d[hdr + 1].count(",") == b[hdr + 1].count(",") + 2
+    # everything above the table is identical
+    assert b[:hdr] == d[:hdr]
