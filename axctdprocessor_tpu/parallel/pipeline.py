@@ -1,0 +1,104 @@
+"""Two-stage cross-device pipeline for archive decoding.
+
+SURVEY.md 2.5's optional pipeline axis: the DSP front end (stage 1 —
+~95% of device compute: FFT filtering, tone powers, crossing probes)
+runs on one device while the decode back half (trigger + bit decisions +
+headers + profile) for the *previous* batch runs on another.  Batch k's
+front end overlaps batch k-1's back half and the host finish, so the
+front-end device is never idle between batches — the decode analog of
+pipeline parallelism, with the inter-stage activation transfer riding
+ICI (an async device-to-device copy of the stage-1 output tables).
+
+For this workload DP over drops is usually the better use of extra
+devices (drops are independent); the pipeline is for the case where a
+single batch's front end already saturates one device and latency per
+batch matters.  All dispatches are async: the host only blocks on each
+batch's final result fetch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import tpu_engine as eng
+from ..models.parity_engine import DecodeResult
+from ..utils.config import DecoderConfig
+from .batch import _batched_back_half, finish_batch
+
+
+@functools.lru_cache(maxsize=8)
+def _batched_stage1(dims, fs, bitrate, bit_inset, edge_pad):
+    def one(pcm, n_valid, ptrig, sos, btrig):
+        return eng.stage1_core(pcm, ptrig, sos, btrig, dims, fs, bitrate,
+                               bit_inset, edge_pad, n_valid=n_valid)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None)))
+
+
+def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
+                             devices=None) -> list[list[DecodeResult]]:
+    """Decode an iterable of (pcms, lengths) batches through a two-device
+    front-end/back-half pipeline.  Every batch must share (fs, shape).
+
+    Returns one list of DecodeResults per input batch, in order.
+    """
+    cfg = config or DecoderConfig()
+    fs_report = float(fs) if isinstance(fs, float) else int(fs)
+    fs = float(fs)
+    devs = devices if devices is not None else jax.devices()
+    d_front = devs[0]
+    d_back = devs[1] if len(devs) > 1 else devs[0]
+
+    batches = list(batches)
+    if not batches:
+        return []
+    n = np.asarray(batches[0][0]).shape[1]
+    npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
+    dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
+    ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)
+
+    stage1 = _batched_stage1(dims, fs, float(cfg.bitrate), cfg.bit_inset, 100)
+    back = _batched_back_half(dims, fs)
+    params = eng.fused_inputs(cfg, fs)
+
+    front_consts = [jax.device_put(np.asarray(a, np.float32), d_front)
+                    for a in (ptrig, sos, btrig)]
+    back_consts = {k: jax.device_put(v, d_back) for k, v in params.items()}
+
+    results: list[list[DecodeResult]] = []
+    inflight = []  # (back-half out tree on d_back, lengths)
+
+    def drain(item):
+        out, lengths = item
+        results.append(finish_batch(jax.device_get(out), cfg, fs, fs_report,
+                                    lengths))
+
+    for pcms, lengths in batches:
+        pcms = np.asarray(pcms)
+        lengths = np.asarray(lengths if lengths is not None
+                             else [pcms.shape[1]] * pcms.shape[0], np.int32)
+        x = jax.device_put(pcms if np.issubdtype(pcms.dtype, np.integer)
+                           else pcms.astype(np.float32), d_front)
+        nv = jax.device_put(lengths, d_front)
+        s1 = stage1(x, nv, *front_consts)  # async on the front device
+
+        # ship stage-1 tables to the back device (async inter-device copy)
+        s1_b = jax.device_put(s1, d_back)
+        nv_b = jax.device_put(lengths, d_back)
+        out = back(s1_b["r400"], s1_b["r7500"], s1_b["edge_samples"],
+                   s1_b["n_edges"], s1_b["s1"], s1_b["s2"], nv_b,
+                   back_consts["trig_i"], back_consts["trig_f"],
+                   back_consts["hdr_rel"], back_consts["calib_off"],
+                   back_consts["coeff_defaults"], back_consts["temp_lut"],
+                   back_consts["limits"])
+        inflight.append((out, lengths))
+        # keep one batch in flight: fetch k-1 while k computes
+        if len(inflight) > 1:
+            drain(inflight.pop(0))
+    while inflight:
+        drain(inflight.pop(0))
+    return results

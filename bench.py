@@ -77,9 +77,10 @@ def pallas_smoke(fs=44100.0):
 
 
 def batch_throughput(cfg_fs=44100):
-    """Aggregate audio-sec/sec for a 16-drop vmapped int16 batch decode."""
+    """Aggregate audio-sec/sec for 16 int16 drops decoded as 4 pipelined
+    sub-batches (sub-batch k+1's upload streams while k decodes)."""
     from axctdprocessor_tpu.models import simulator
-    from axctdprocessor_tpu.parallel.batch import decode_batch
+    from axctdprocessor_tpu.parallel.pipeline import decode_batches_pipelined
 
     rng = np.random.default_rng(7)
     spec = simulator.SimSpec(duration=BATCH_SECONDS, profile_start=40.0,
@@ -93,16 +94,21 @@ def batch_throughput(cfg_fs=44100):
         .astype(np.int16)
         for _ in range(BATCH_DROPS)
     ])
+    sub = 4
+    lengths = [batch.shape[1]] * sub
+    batches = [(batch[i:i + sub], lengths)
+               for i in range(0, BATCH_DROPS, sub)]
 
-    results = decode_batch(batch, cfg_fs)  # warmup + compile
+    piped = decode_batches_pipelined(batches, cfg_fs)  # warmup + compile
+    flat = [r for b in piped for r in b]
     ok = sum(r.status == 2 and r.metadata["serial_no"] == truth["serial_no"]
-             for r in results)
+             for r in flat)
     assert ok == BATCH_DROPS, f"batch warmup: {ok}/{BATCH_DROPS} decoded"
 
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        decode_batch(batch, cfg_fs)
+        decode_batches_pipelined(batches, cfg_fs)
         times.append(time.perf_counter() - t0)
     wall = min(times)
     return BATCH_DROPS * BATCH_SECONDS / wall, wall

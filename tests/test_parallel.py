@@ -147,3 +147,27 @@ def test_timeshard_low_fs_crossing_capacity():
     assert res.metadata["serial_no"] == truth["serial_no"]
     a, b = set(res.hexframes), set(single.hexframes)
     assert len(a & b) / max(len(a | b), 1) > 0.95
+
+
+def test_pipeline_two_device_matches_batch(small_batch):
+    """Front-end/back-half pipeline over two devices decodes identically
+    to the single-device batched path, with the stages actually placed
+    on different devices."""
+    import jax
+
+    from axctdprocessor_tpu.parallel.pipeline import decode_batches_pipelined
+
+    pcms = pbatch.pad_batch([p for p, _ in small_batch])  # 4 drops
+    batches = [(pcms[:2], [pcms.shape[1]] * 2), (pcms[2:], [pcms.shape[1]] * 2)]
+    devs = jax.devices()[:2]
+    piped = decode_batches_pipelined(batches, 44100.0, devices=devs)
+    flat = [r for batch in piped for r in batch]
+
+    ref = pbatch.decode_batch(pcms, 44100.0)
+    assert len(flat) == len(ref) == 4
+    for a, b in zip(flat, ref):
+        assert a.status == b.status
+        assert a.metadata == b.metadata
+        assert a.hexframes == b.hexframes
+        np.testing.assert_array_equal(a.time, b.time)
+        np.testing.assert_array_equal(a.salinity, b.salinity)
