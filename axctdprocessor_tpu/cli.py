@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Drops per device batch in archive mode")
     p.add_argument("--no-resume", action="store_true",
                    help="Archive mode: re-decode files already in the manifest")
+    p.add_argument("--wire", choices=["auto", "int16", "int8"], default="auto",
+                   help="TPU-engine upload format for integer PCM: int8 "
+                        "halves the host->device bytes (decode-equivalent); "
+                        "auto picks int8 on real TPU hardware")
     p.add_argument("--quiet", action="store_true", help="Suppress progress output")
     p.add_argument("--diagnostics", action="store_true",
                    help="Append per-point R400/dR7500 signal columns to the "
@@ -148,7 +152,8 @@ def main(argv=None) -> int:
     if args.engine == "tpu":
         from .models.tpu_engine import decode_wav_tpu
 
-        result = decode_wav_tpu(args.input, timerange, settings, compat=compat)
+        result = decode_wav_tpu(args.input, timerange, settings, compat=compat,
+                                wire=args.wire)
     else:
         result = decode_wav(args.input, timerange, settings, compat=compat,
                             progress=progress)

@@ -16,12 +16,15 @@ multi-minute remote compile).  This module bounds both:
   bytes (the transfer link, not compute, bounds single-file latency).
 * the variable-size remainder (power smoothing, trigger, bit-edge
   chain, headers, profile) reuses the fused back half; its compile cost
-  is bounded by padding the segment count to a power of two, so all
-  file lengths share O(log) assemble programs.
+  is bounded by padding the segment count to {2^p, 3*2^p} buckets, so
+  all file lengths share O(log) assemble programs with <= 33% padding.
 
 Segment length is 1500 power-window strides (= exactly 60 s at any fs
 where fs/25 is integral), keeping the global 25 Hz window grid aligned
-across segment boundaries.
+across segment boundaries.  >50 kHz WAVs decimate by 2 on device inside
+each segment program (the halos absorb the zero-phase anti-alias
+filter's ring), so long high-rate files keep both the streamed raw
+upload and the bounded compile.
 
 Decode results match the monolithic engine (same grid, same chain, same
 back half); the only numeric difference is the overlap-save filter halo
@@ -52,25 +55,45 @@ def _seg_geometry(fs: float):
     n_power = int(fs / 10)
     seg_len = SEG_STRIDES * d_pcm
     right = n_power  # covers window straddle and crossing-probe lookahead
-    c_seg = max(int(seg_len / fs * 4000) + 256, 1024)
+    c_seg = max(int(seg_len / fs * chain_ops.CROSSINGS_PER_SECOND) + 256,
+                1024)
     return d_pcm, n_power, seg_len, right, c_seg
 
 
 @functools.lru_cache(maxsize=8)
 def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
-                     integer_input: bool):
+                     integer_input: bool, decim2: bool = False):
     """One fixed-shape stage-1 segment: conditioning, overlap-save FFT
     filter, tone powers on the global grid, crossings + per-crossing
-    probes.  Compiled once per (fs, config geometry) for every file."""
+    probes.  Compiled once per (fs, config geometry) for every file.
+
+    With ``decim2`` (>50 kHz WAVs) the segment arrives at 2x the decode
+    rate and is conditioned + zero-phase anti-alias decimated on device
+    first (the segment form of tpu_engine.decimate2_on_device; the halos
+    absorb the filter's symmetric ring).  ``fs`` is always the decode
+    (post-decimation) rate; ``n_valid`` and ``k_off`` arrive at the raw
+    rate and decode rate respectively."""
     d_pcm, n_power, seg_len, right, c_seg = _seg_geometry(fs)
     ext_len = LEFT_HALO + seg_len + right
+    raw_mult = 2 if decim2 else 1
+    in_len = ext_len * raw_mult
     nfft = iir.next_pow2(ext_len)
 
-    def run(seg_ext, dc, peak, k_off, n_valid, ptrig, sos_arr, btrig):
+    def run(seg_ext, dc, peak, k_off, n_valid, ptrig, sos_arr, btrig,
+            decim_sos):
         x = seg_ext.astype(jnp.float32) if integer_input else seg_ext
-        gpos_ext = jnp.arange(ext_len) + (k_off - LEFT_HALO)
-        x = jnp.where((gpos_ext >= 0) & (gpos_ext < n_valid),
+        gpos_raw = jnp.arange(in_len) + raw_mult * (k_off - LEFT_HALO)
+        x = jnp.where((gpos_raw >= 0) & (gpos_raw < n_valid),
                       (x - dc) / peak, 0.0)
+        nv_dec = (n_valid + raw_mult - 1) // raw_mult
+        if decim2:
+            nfft_d = iir.next_pow2(in_len)
+            h = eng.sos_response_on_device(decim_sos, nfft_d)
+            zero_phase = (h * jnp.conj(h)).real
+            spec_d = jnp.fft.rfft(x, nfft_d) * zero_phase
+            x = jnp.fft.irfft(spec_d, nfft_d)[:in_len][::2]
+            gpos_ext = jnp.arange(ext_len) + (k_off - LEFT_HALO)
+            x = jnp.where((gpos_ext >= 0) & (gpos_ext < nv_dec), x, 0.0)
 
         response = eng.sos_response_on_device(sos_arr, nfft)
         spec = jnp.fft.rfft(x, nfft) * response
@@ -87,7 +110,7 @@ def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
         sgn = jnp.where(fbody >= 0, 1, -1)
         is_c = sgn[:seg_len] != sgn[1 : seg_len + 1]
         gpos_blk = jnp.arange(seg_len) + k_off
-        is_c &= (gpos_blk >= edge_pad) & (gpos_blk < n_valid - 1)
+        is_c &= (gpos_blk >= edge_pad) & (gpos_blk < nv_dec - 1)
         pos, _ = chain_ops.compact_indices(is_c, c_seg, BIG)
         probes = goertzel.tone_power_at(
             fbody, jnp.clip(pos, 0, seg_len - 1) + bit_inset, npcm, btrig)
@@ -130,67 +153,96 @@ def _assemble_program(n_seg: int, dims, fs: float, bitrate: float):
     return jax.jit(run)
 
 
-def _next_pow2_count(k: int) -> int:
-    return 1 << max(int(np.ceil(np.log2(max(k, 1)))), 0)
+def _bucket_count(k: int) -> int:
+    """Smallest of {2^p, 3*2^p} >= k: segment counts share O(log) assemble
+    programs with <= 33% padding (pure pow2 wasted up to 2x — for a 600 s
+    file, 6 of 16 crossing-table segments were zero padding feeding the
+    chain's full-table squaring gathers)."""
+    k = max(k, 1)
+    p2 = 1 << max(int(np.ceil(np.log2(k))), 0)
+    if 3 * (p2 // 4) >= k and p2 >= 4:
+        return 3 * (p2 // 4)
+    return p2
 
 
 def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
-                              dtype=jnp.float32) -> DecodeResult:
+                              dtype=jnp.float32,
+                              wire: str = "auto") -> DecodeResult:
     """Decode with per-segment stage 1 (streamed upload, bounded compile).
 
     Same result contract as decode_waveform_tpu; integer input is
     conditioned on device with host-computed raw-int DC/peak statistics
-    (the same float64 statistics the WAV reader uses).
+    (the same float64 statistics the WAV reader uses).  ``wire`` selects
+    the upload format for integer PCM (ops.wire; "auto" = int8 on real
+    TPU), which matters most here — the segmented path exists to stream
+    uploads under compute, and int8 halves the streamed bytes.
     """
     cfg = config or DecoderConfig()
-    fs_report = float(fs) if isinstance(fs, float) else int(fs)
-    fs = float(fs)
     pcm = np.asarray(pcm)
-    n = int(len(pcm))
+    if np.issubdtype(pcm.dtype, np.integer):
+        from ..ops import wire as wire_ops
+
+        pcm = wire_ops.encode(pcm, wire)
+    # >50 kHz input decimates by 2 on device, per segment; the report
+    # prints the halved rate as a float (reference host `fs /= 2`)
+    decim2 = float(fs) > 50000.0
+    if decim2:
+        fs = float(fs) / 2.0
+        fs_report = fs
+    else:
+        fs_report = float(fs) if isinstance(fs, float) else int(fs)
+        fs = float(fs)
+    raw_mult = 2 if decim2 else 1
+    n_raw = int(len(pcm))
+    n = (n_raw + raw_mult - 1) // raw_mult  # decode-rate length
     d_pcm, n_power, seg_len, right, c_seg = _seg_geometry(fs)
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
 
     integer_input = bool(np.issubdtype(pcm.dtype, np.integer))
     if integer_input:
         dc = float(np.mean(pcm))
-        peak = max(float(np.max(np.abs(pcm))), 1.0) if n else 1.0
+        peak = max(float(np.max(np.abs(pcm))), 1.0) if n_raw else 1.0
     else:
         dc, peak = 0.0, 1.0  # float input arrives conditioned
         pcm = pcm.astype(np.float32)
 
     n_seg = max(int(np.ceil(n / seg_len)), 1)
-    n_seg_pad = _next_pow2_count(n_seg)
+    n_seg_pad = _bucket_count(n_seg)
     dims = eng.EngineDims.for_waveform(n_seg_pad * seg_len, fs, cfg.bitrate,
                                        npcm)
     power_trig, bit_trig, sos = eng.engine_tables(cfg, fs, dims)
 
-    seg_fn = _segment_program(fs, npcm, cfg.bit_inset, 100, integer_input)
+    seg_fn = _segment_program(fs, npcm, cfg.bit_inset, 100, integer_input,
+                              decim2)
     pt = jnp.asarray(power_trig, jnp.float32)
     so = jnp.asarray(sos, jnp.float32)
     bt = jnp.asarray(bit_trig, jnp.float32)
+    ds = jnp.asarray(iir.design_decim_sos() if decim2
+                     else np.zeros((1, 6)), jnp.float32)
     dc_d = jnp.asarray(np.float32(dc))
     peak_d = jnp.asarray(np.float32(peak))
-    nv = jnp.asarray(n, jnp.int32)
+    nv = jnp.asarray(n_raw, jnp.int32)
 
     ext_len = LEFT_HALO + seg_len + right
+    in_len = ext_len * raw_mult
     outs = []
     for k in range(n_seg):
-        lo = k * seg_len - LEFT_HALO
-        hi = k * seg_len + seg_len + right
-        ext = np.zeros(ext_len, dtype=pcm.dtype)
-        src_lo, src_hi = max(lo, 0), min(hi, n)
+        lo = (k * seg_len - LEFT_HALO) * raw_mult
+        hi = (k * seg_len + seg_len + right) * raw_mult
+        ext = np.zeros(in_len, dtype=pcm.dtype)
+        src_lo, src_hi = max(lo, 0), min(hi, n_raw)
         if src_hi > src_lo:
             ext[src_lo - lo : src_hi - lo] = pcm[src_lo:src_hi]
         # async: upload segment k+1 while k computes
         outs.append(seg_fn(jnp.asarray(ext), dc_d, peak_d,
                            jnp.asarray(k * seg_len, jnp.int32), nv,
-                           pt, so, bt))
+                           pt, so, bt, ds))
     if n_seg_pad > n_seg:
         # one shared zero-segment output for every padded slot (zero
         # input + out-of-range positions -> no crossings, zero powers)
-        zero = seg_fn(jnp.asarray(np.zeros(ext_len, pcm.dtype)), dc_d,
+        zero = seg_fn(jnp.asarray(np.zeros(in_len, pcm.dtype)), dc_d,
                       peak_d, jnp.asarray(n_seg * seg_len, jnp.int32), nv,
-                      pt, so, bt)
+                      pt, so, bt, ds)
         outs.extend([zero] * (n_seg_pad - n_seg))
 
     assemble = _assemble_program(n_seg_pad, dims, fs, float(cfg.bitrate))

@@ -84,12 +84,13 @@ class EngineDims:
         d_pcm = int(round(fs / 25))
         n_win = max(int(math.ceil((n - n_power) / d_pcm)), 1)
         max_edges = int(n * bitrate / fs * 1.25) + 64
-        # crossing capacity is duration-based: the demod filter band ends
-        # at ~1300 Hz, so even noise-dominated audio crosses < 3000
-        # times/s — 4000/s is a safe ceiling, and capacity directly
-        # scales the pointer-doubling chain's gather cost (a sample-based
-        # n//8 bound was 40% larger at 44.1 kHz for no coverage gain)
-        max_crossings = max(int(n / fs * 4000) + 1024, 4096)
+        # crossing capacity is duration-based (Rice-rate ceiling for the
+        # filtered band; see ops.chain.CROSSINGS_PER_SECOND) — capacity
+        # directly scales the pointer-doubling chain's gather cost (a
+        # sample-based n//8 bound was ~80% larger at 44.1 kHz for no
+        # coverage gain)
+        max_crossings = max(
+            int(n / fs * chain_ops.CROSSINGS_PER_SECOND) + 1024, 4096)
         return cls(
             n=n, n_power=n_power, d_pcm=d_pcm, n_win=n_win, npcm=npcm,
             max_crossings=max_crossings,
@@ -702,7 +703,7 @@ def fused_inputs(cfg: DecoderConfig, fs: float, dtype=np.float32):
 
 def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
                         dtype=jnp.float32, pad_to_bucket: bool = True,
-                        mode: str = "auto") -> DecodeResult:
+                        mode: str = "auto", wire: str = "auto") -> DecodeResult:
     """Decode a conditioned (or raw-integer) waveform with the TPU engine.
 
     The whole decode — DSP front end, trigger logic, bit calibration,
@@ -722,11 +723,20 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     segmented engine (models.segmented — streamed per-segment upload
     overlapping compute, length-independent compilation; ~2x lower wall
     on the tunnel-attached chip), "monolithic"/"segmented" force a path.
-    High-rate (>50 kHz) input always decodes monolithically (the device
-    decimator lives in the fused program).
+    High-rate (>50 kHz) input decimates by 2 on device on either path.
+
+    ``wire``: host->device format for integer PCM — "int16" ships samples
+    verbatim; "int8" quantizes on host to halve the upload (~48 dB SNR,
+    decode-equivalent; ops.wire); "auto" picks int8 on real TPU hardware
+    (where the link binds latency) and int16 elsewhere.
     """
     cfg = config or DecoderConfig()
-    if mode != "monolithic" and float(fs) <= 50000.0:
+    pcm = np.asarray(pcm)
+    if np.issubdtype(pcm.dtype, np.integer):
+        from ..ops import wire as wire_ops
+
+        pcm = wire_ops.encode(pcm, wire)
+    if mode != "monolithic":
         n0 = len(pcm)
         if mode == "segmented" or n0 > AUTO_SEGMENT_SECONDS * float(fs):
             from .segmented import decode_waveform_segmented
@@ -786,17 +796,18 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
 
 
 def decode_wav_tpu(path: str, timerange=(0, -1), settings: dict | None = None,
-                   compat: str = "strict") -> DecodeResult:
+                   compat: str = "strict", wire: str = "auto") -> DecodeResult:
     """Read + decode a WAV with the TPU engine.
 
     int16 mono WAVs ship raw to the device and are conditioned there
-    (half the transfer bytes); >50 kHz rates additionally decimate by 2
+    (half the transfer bytes, or a quarter with the int8 wire — see
+    ``decode_waveform_tpu``); >50 kHz rates additionally decimate by 2
     on device.  Other encodings go through the host conditioning path."""
     from ..utils.wavio import read_wav, read_wav_raw16
 
     cfg = resolve_settings(settings, compat=compat)
     raw = read_wav_raw16(path, timerange, allow_highrate=True)
     if raw is not None:
-        return decode_waveform_tpu(raw[0], raw[1], config=cfg)
+        return decode_waveform_tpu(raw[0], raw[1], config=cfg, wire=wire)
     pcm, fs = read_wav(path, timerange)
     return decode_waveform_tpu(pcm, fs, config=cfg)

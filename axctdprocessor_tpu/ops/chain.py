@@ -24,6 +24,18 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
+# Zero-crossing capacity per second of audio.  The demod filter is a
+# 6th-order Butterworth ending at ~1300 Hz, so by Rice's formula the
+# crossing rate of anything it passes is ~2*f_rms: ~1450/s for pure
+# broadband noise (f_rms ~= 0.6*f_c for the order-6 response), <=1600/s
+# for the FSK signal itself (800 baud, 400/800 Hz tones).  3000/s is a
+# >=2x ceiling over any decodable content; it directly scales the
+# pointer-doubling jump table, whose full-table squaring gathers are the
+# chain's dominant cost.  Inputs that exceed it (possible only for
+# band-edge interference with no in-band signal, i.e. nothing decodable)
+# truncate: crossings past capacity are dropped.
+CROSSINGS_PER_SECOND = 3000
+
 
 def compact_indices(mask: jnp.ndarray, size: int, fill: int):
     """Indices of True entries, compacted into a fixed-size buffer.
@@ -42,36 +54,46 @@ def compact_indices(mask: jnp.ndarray, size: int, fill: int):
 
 
 def chain_enumerate(next_idx: jnp.ndarray, start, length: int,
-                    max_level: int | None = None) -> jnp.ndarray:
+                    max_level: int = 9) -> jnp.ndarray:
     """Iterate ``chain[j+1] = next_idx[chain[j]]`` for `length` steps.
 
     `next_idx` must map fixed points to themselves at chain ends; the
     returned array then repeats the terminal value after termination.
 
-    The jump table is squared only up to ``2^max_level`` steps: each
-    squaring is a random gather over the FULL table (the dominant cost —
-    ~20 ms per level at 2.4M entries on TPU), while extending the chain
-    with an existing table costs only the chain's own length.  Capping
-    the levels and sliding a 2^max_level window over the tail trades a
-    few dozen cheap extension gathers for the most expensive squarings
-    (~35% of chain wall time at 600 s scale).
+    The jump table is squared only up to ``span = 2^max_level`` steps:
+    each squaring is a random gather over the FULL table (the dominant
+    cost — measured 14 ms/level at 1.8M entries on TPU v5e), while
+    extending the chain with an existing table costs only the chain's
+    own length.  The tail is filled by a `lax.scan` over span-sized
+    chunks (``chunk_{t+1} = jumps[chunk_t]``), so the extension count
+    never bloats the HLO graph and the per-chunk cost is span gathers +
+    one loop step (~10 us).  At 600 s engine scale this trades ~4
+    squarings (~56 ms) for ~15 ms of scanning.
     """
     k = int(length)
-    if max_level is None:
-        # bound the unrolled tail-extension count to ~128 HLO gathers
-        max_level = max(12, (k - 1).bit_length() - 7)
-    chain = jnp.zeros((k,), dtype=jnp.int32).at[0].set(start)
     jumps = next_idx.astype(jnp.int32)
-    filled, span = 1, 1  # invariant: jumps == next^span, chain[:filled] done
-    while filled < k:
-        take = min(span, k - filled)
-        seg = jumps[chain[filled - span : filled - span + take]]
-        chain = lax.dynamic_update_slice(chain, seg, (filled,))
-        filled += take
-        if filled < k and span < (1 << max_level) and 2 * span <= filled:
+    # phase 1: doubling — fills chain[:first] (first = pow2 <= 2^max_level)
+    # and leaves jumps == next^first when a tail remains
+    first = min(1 << (k - 1).bit_length(), 1 << max_level)
+    span = 1
+    chain0 = jnp.zeros((first,), jnp.int32).at[0].set(start)
+    while span < first:
+        seg = jumps[chain0[:span]]
+        chain0 = lax.dynamic_update_slice(chain0, seg, (span,))
+        if 2 * span < k:  # skip the squaring no later step will use
             jumps = jumps[jumps]
-            span *= 2
-    return chain
+        span *= 2
+    if first >= k:
+        return chain0[:k]
+    # phase 2: scan span-sized chunks: chunk_{t+1} = next^first(chunk_t)
+    n_chunks = -(-(k - first) // first)
+
+    def body(chunk, _):
+        nc = jumps[chunk]
+        return nc, nc
+
+    _, rest = lax.scan(body, chain0, None, length=n_chunks)
+    return jnp.concatenate([chain0, rest.reshape(-1)])[:k]
 
 
 def bit_edge_successors(crossings: jnp.ndarray, n_valid, fs: float,
@@ -117,18 +139,6 @@ def enumerate_bit_edges(crossings: jnp.ndarray, n_valid, fs: float,
     return chain, n_edges
 
 
-def frame_sync_successors(accept: jnp.ndarray, n_bits) -> jnp.ndarray:
-    """Successor table for frame sync: +32 on accept, +1 on reject.
-
-    Positions at or beyond n_bits - 32 are fixed points (the reference's
-    ``while s < numbits - 32``)."""
-    n = accept.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    nxt = jnp.where(accept, idx + 32, idx + 1)
-    nxt = jnp.where(idx < n_bits - 32, nxt, idx)
-    return jnp.clip(nxt, 0, n - 1)
-
-
 def enumerate_frames(accept: jnp.ndarray, n_bits, max_steps: int,
                      max_frames: int):
     """Run frame sync over the whole bitstream at once.
@@ -137,17 +147,47 @@ def enumerate_frames(accept: jnp.ndarray, n_bits, max_steps: int,
     `consumed` is the scan's final position (bits to drop from a
     streaming buffer).  `accept` is the precomputed per-offset frame
     validity ('10' prefix + CRC + signal gate).
+
+    Upstream semantics (parse.py:57-89): advance 1 bit on a reject, 32
+    on an accepted frame, stop at ``n_bits - 32``.  Because every
+    between-frame position is a reject, the walk reduces exactly to
+    "next accepted offset at or after s + 32" — so the chain runs in the
+    *accept-compacted* domain: compact the accepted offsets (ascending),
+    link them with one vectorized ``searchsorted``, and pointer-double a
+    ~n/16 table for max_frames steps instead of an n-sized table for
+    max_steps steps (the full-domain walk cost 85 ms at 600 s scale;
+    this is ~5 ms).  Accept capacity n/16 + 1k is 16x the worst real
+    accept density (frames every 32 bits + 1/256 spurious CRC passes);
+    '10'-prefix accepts can never be adjacent, so even adversarial
+    streams stay under the n/2 hard ceiling only 8x above it.
+
+    ``max_steps`` is retained for API compatibility; the accept-domain
+    walk no longer needs it.
     """
-    nxt = frame_sync_successors(accept, n_bits)
-    chain = chain_enumerate(nxt, jnp.asarray(0, jnp.int32), max_steps)
-    advancing = jnp.concatenate([jnp.ones((1,), bool), chain[1:] > chain[:-1]])
-    on_chain = jnp.cumprod(advancing.astype(jnp.int32)).astype(bool)
-    is_frame = on_chain & accept[jnp.clip(chain, 0, accept.shape[0] - 1)] \
-        & (chain < n_bits - 32)
+    del max_steps
+    n = accept.shape[0]
+    cap = min(n, n // 16 + 1024)
+    big = np.iinfo(np.int32).max // 2
+    idx = jnp.arange(n, dtype=jnp.int32)
+    accept = accept & (idx < n_bits - 32)
+    apos, n_acc = compact_indices(accept, cap, big)  # ascending, big-filled
+
+    # successor in accept-index space: first accept at >= apos[j] + 32
+    succ = jnp.searchsorted(apos, apos + 32).astype(jnp.int32)
+    j = jnp.arange(cap, dtype=jnp.int32)
+    succ = jnp.where((j < n_acc) & (succ < n_acc), succ, j)
+
+    chain = chain_enumerate(succ, jnp.asarray(0, jnp.int32), max_frames)
+    advancing = jnp.concatenate([(n_acc > 0)[None], chain[1:] > chain[:-1]])
+    is_frame = jnp.cumprod(advancing.astype(jnp.int32)).astype(bool)
     n_frames = jnp.sum(is_frame.astype(jnp.int32))
-    # stable-order extraction of frame starts into a fixed-size buffer
-    order = jnp.where(is_frame, jnp.cumsum(is_frame.astype(jnp.int32)) - 1,
-                      max_frames)
-    starts = jnp.full((max_frames + 1,), jnp.int32(0)).at[order].set(chain, mode="drop")
-    consumed = chain[-1]
-    return starts[:max_frames], n_frames, consumed
+    starts = jnp.where(is_frame, apos[jnp.clip(chain, 0, cap - 1)], 0)
+
+    # final scan position: past the last frame the walk rejects +1 up to
+    # the n_bits - 32 stop (or stops at last_start + 32 if that is past
+    # it); with no frames it walks straight to the stop
+    floor_pos = jnp.maximum(n_bits - 32, 0)
+    last_start = jnp.max(jnp.where(is_frame, starts, -1))
+    last_end = jnp.where(n_frames > 0, last_start + 32, 0)
+    consumed = jnp.minimum(jnp.maximum(floor_pos, last_end), n - 1)
+    return starts, n_frames, consumed

@@ -1,0 +1,94 @@
+"""Compact host->device wire formats for raw PCM.
+
+The tunnel-attached chip's upload bandwidth (20-60 MB/s measured) binds
+single-file decode latency: a 600 s drop is 53 MB as int16, ~2x the
+device compute time.  This module quantizes integer PCM to int8 on the
+host (one fused numpy pass) so the upload halves.
+
+Why this is safe: every downstream consumer is invariant to an affine
+amplitude scale — tone-power *ratios*, zero-crossing signs, and
+mark/space power *comparisons* — and the device's integer conditioning
+(tpu_engine.condition_integer) re-removes the (quantized) DC and
+re-normalizes the peak.  So int8 samples flow through the exact same
+integer machinery as int16; the only effect is ~48 dB of quantization
+noise, far below what an FSK decode at the reference's own thresholds
+can resolve (the reference conditions to float64 on the host,
+AXCTDprocessor.py:55-57, and then makes 2-decimal decisions on log10
+power ratios).
+
+int8 is therefore the default wire on real TPU hardware; "int16" ships
+samples verbatim (bit-exact with the host-conditioned decode) and is
+the default everywhere else.  The parity engine never uses this module.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WIRE_FORMATS = ("auto", "int16", "int8")
+
+
+def default_wire() -> str:
+    """int8 on a real TPU backend (upload-bound), int16 elsewhere."""
+    try:
+        import jax
+
+        return "int8" if jax.default_backend() == "tpu" else "int16"
+    except Exception:  # pragma: no cover - jax always importable here
+        return "int16"
+
+
+def resolve_wire(wire: str, dtype) -> str:
+    """Resolve a wire request against the input dtype (floats ship as-is:
+    they arrive already conditioned and are not renormalized on device)."""
+    if wire not in WIRE_FORMATS:
+        raise ValueError(f"wire must be one of {WIRE_FORMATS}, got {wire!r}")
+    if not np.issubdtype(np.dtype(dtype), np.integer):
+        return "int16"  # i.e. no re-encoding; float path
+    return default_wire() if wire == "auto" else wire
+
+
+def quantize_int8(pcm: np.ndarray) -> np.ndarray:
+    """Quantize integer PCM to int8 at the waveform's own peak.
+
+    ``q = rint(pcm * 127/max|pcm|)`` stays within [-127, 127] by
+    construction.  The sub-LSB DC offset this drops is re-estimated and
+    removed by the device conditioning (mean over q), so no separate
+    scale/offset needs to cross the wire.
+    """
+    pcm = np.asarray(pcm)
+    if pcm.dtype == np.int8:
+        return pcm
+    peak = float(np.max(np.abs(pcm))) if pcm.size else 0.0
+    scale = np.float32(127.0 / max(peak, 1.0))
+    q = np.multiply(pcm, scale, dtype=np.float32)
+    np.rint(q, out=q)
+    return q.astype(np.int8)
+
+
+def quantize_int8_rows(pcms: np.ndarray) -> np.ndarray:
+    """Row-wise int8 quantization for a (B, N) integer batch.
+
+    Each drop quantizes at its own peak (drops are independent; the
+    device conditions per row).  Zero padding stays exactly zero.
+    """
+    pcms = np.asarray(pcms)
+    if pcms.dtype == np.int8:
+        return pcms
+    peaks = np.max(np.abs(pcms), axis=1, keepdims=True).astype(np.float32)
+    scales = np.float32(127.0) / np.maximum(peaks, 1.0)
+    q = np.multiply(pcms, scales, dtype=np.float32)
+    np.rint(q, out=q)
+    return q.astype(np.int8)
+
+
+def encode(pcm: np.ndarray, wire: str) -> np.ndarray:
+    """Encode a 1-D integer waveform for the requested wire format."""
+    w = resolve_wire(wire, np.asarray(pcm).dtype)
+    return quantize_int8(pcm) if w == "int8" else np.asarray(pcm)
+
+
+def encode_rows(pcms: np.ndarray, wire: str) -> np.ndarray:
+    """Encode a (B, N) integer batch for the requested wire format."""
+    w = resolve_wire(wire, np.asarray(pcms).dtype)
+    return quantize_int8_rows(pcms) if w == "int8" else np.asarray(pcms)

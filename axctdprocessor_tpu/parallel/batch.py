@@ -63,14 +63,20 @@ def pad_batch(pcms: list[np.ndarray], dtype=None) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _batched_fused(dims, fs, bitrate, bit_inset, edge_pad, mesh=None):
-    """vmapped whole-decode program (stage 1 + device back half)."""
+def _batched_fused(dims, fs, bitrate, bit_inset, edge_pad, mesh=None,
+                   use_pallas=False):
+    """vmapped whole-decode program (stage 1 + device back half).
+
+    ``use_pallas`` routes the tone-power path through the fused Pallas
+    kernel (vmap adds a batch grid axis; the kernel's sequential-carry
+    semantics hold per batch row) — callers then pass the kernel's
+    trig_segments layout as ``ptrig``."""
     def one(pcm, n_valid, ptrig, sos, btrig, trig_i, trig_f, hdr_rel,
             calib_off, coeff_defaults, temp_lut, limits):
         return eng.fused_core(pcm, n_valid, ptrig, sos, btrig, trig_i,
                               trig_f, hdr_rel, calib_off, coeff_defaults,
                               temp_lut, limits, dims, fs, bitrate,
-                              bit_inset, edge_pad)
+                              bit_inset, edge_pad, use_pallas=use_pallas)
 
     fn = jax.vmap(one, in_axes=(0, 0) + (None,) * 10)
     if mesh is None:
@@ -126,18 +132,25 @@ def run_back_half_batched(s1: dict, cfg: DecoderConfig, fs: float, dims,
 
 def decode_batch(pcms, fs, config: DecoderConfig | None = None,
                  mesh: Mesh | None = None, dtype=jnp.float32,
-                 lengths=None) -> list[DecodeResult]:
+                 lengths=None, wire: str = "auto") -> list[DecodeResult]:
     """Decode a (B, N) batch of waveforms; returns B results.
 
     The whole batch is ONE device dispatch (vmapped fused decode, dp-
     sharded when a mesh is given) and ONE blocking device->host transfer.
     Integer batches are conditioned on device; for zero-padded ragged
     batches pass `lengths` (true samples per row) so DC removal averages
-    over real samples only and the trigger grid stops at real windows."""
+    over real samples only and the trigger grid stops at real windows.
+    ``wire`` selects the integer upload format (ops.wire; "auto" = int8
+    per-row quantization on real TPU — a 64-drop batch is upload-bound
+    just like a long single file)."""
     cfg = config or DecoderConfig()
     fs_report = float(fs) if isinstance(fs, float) else int(fs)
     fs = float(fs)
     pcms = np.asarray(pcms)
+    if np.issubdtype(pcms.dtype, np.integer):
+        from ..ops import wire as wire_ops
+
+        pcms = wire_ops.encode_rows(pcms, wire)
     b_orig = pcms.shape[0]
     if lengths is None:
         lengths = np.full(b_orig, pcms.shape[1], np.int32)
@@ -149,8 +162,14 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
     ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)
 
+    use_pallas = eng._use_pallas_default()
+    if use_pallas:
+        from ..ops.pallas import tonepower
+
+        ptrig = tonepower.trig_segments(
+            dims.n_power, dims.d_pcm, [400.0, 7500.0, cfg.dead_freq], fs)
     fused = _batched_fused(dims, fs, float(cfg.bitrate), cfg.bit_inset, 100,
-                           mesh)
+                           mesh, use_pallas)
     x = jnp.asarray(pcms) if np.issubdtype(pcms.dtype, np.integer) \
         else jnp.asarray(pcms, dtype)
     params = eng.fused_inputs(cfg, fs, dtype)

@@ -31,18 +31,22 @@ from .batch import _batched_back_half, finish_batch
 
 
 @functools.lru_cache(maxsize=8)
-def _batched_stage1(dims, fs, bitrate, bit_inset, edge_pad):
+def _batched_stage1(dims, fs, bitrate, bit_inset, edge_pad,
+                    use_pallas=False):
     def one(pcm, n_valid, ptrig, sos, btrig):
         return eng.stage1_core(pcm, ptrig, sos, btrig, dims, fs, bitrate,
-                               bit_inset, edge_pad, n_valid=n_valid)
+                               bit_inset, edge_pad, use_pallas=use_pallas,
+                               n_valid=n_valid)
 
     return jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None)))
 
 
 def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
-                             devices=None) -> list[list[DecodeResult]]:
+                             devices=None,
+                             wire: str = "auto") -> list[list[DecodeResult]]:
     """Decode an iterable of (pcms, lengths) batches through a two-device
     front-end/back-half pipeline.  Every batch must share (fs, shape).
+    Integer batches honor the ``wire`` upload format (ops.wire).
 
     Returns one list of DecodeResults per input batch, in order.
     """
@@ -61,7 +65,14 @@ def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
     ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)
 
-    stage1 = _batched_stage1(dims, fs, float(cfg.bitrate), cfg.bit_inset, 100)
+    use_pallas = eng._use_pallas_default()
+    if use_pallas:
+        from ..ops.pallas import tonepower
+
+        ptrig = tonepower.trig_segments(
+            dims.n_power, dims.d_pcm, [400.0, 7500.0, cfg.dead_freq], fs)
+    stage1 = _batched_stage1(dims, fs, float(cfg.bitrate), cfg.bit_inset,
+                             100, use_pallas)
     back = _batched_back_half(dims, fs)
     params = eng.fused_inputs(cfg, fs)
 
@@ -77,8 +88,12 @@ def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
         results.append(finish_batch(jax.device_get(out), cfg, fs, fs_report,
                                     lengths))
 
+    from ..ops import wire as wire_ops
+
     for pcms, lengths in batches:
         pcms = np.asarray(pcms)
+        if np.issubdtype(pcms.dtype, np.integer):
+            pcms = wire_ops.encode_rows(pcms, wire)
         lengths = np.asarray(lengths if lengths is not None
                              else [pcms.shape[1]] * pcms.shape[0], np.int32)
         x = jax.device_put(pcms if np.issubdtype(pcms.dtype, np.integer)

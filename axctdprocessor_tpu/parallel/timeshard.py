@@ -70,10 +70,11 @@ def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int
     assert block % dims.d_pcm == 0
     n_win_blk = block // dims.d_pcm
     cross_halo = dims.npcm + bit_inset + 1
-    # crossing capacity is duration-based (the filtered band ends at
-    # ~1300 Hz; 4000/s is a safe ceiling), mirroring the bound
+    # crossing capacity is duration-based (Rice-rate ceiling, see
+    # ops.chain.CROSSINGS_PER_SECOND), mirroring the bound
     # EngineDims.for_waveform uses for the single-device engine
-    max_cross_blk = max(int(block / fs * 4000) + 256, 1024)
+    max_cross_blk = max(
+        int(block / fs * chain_ops.CROSSINGS_PER_SECOND) + 256, 1024)
     fwd = [(i, (i + 1) % n_sp) for i in range(n_sp)]   # send right
     bwd = [(i, (i - 1) % n_sp) for i in range(n_sp)]   # send left
 

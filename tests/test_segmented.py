@@ -9,7 +9,8 @@ from axctdprocessor_tpu.models.tpu_engine import decode_waveform_tpu
 
 @pytest.fixture(scope="module")
 def drop130():
-    """A 130 s drop: 3 segments, padded to 4 (exercises zero segments)."""
+    """A 130 s drop: 3 segments (bucket 3; zero-segment padding has its
+    own forced-bucket test below)."""
     spec = simulator.SimSpec(duration=130.0, profile_start=33.0, seed=91)
     pcm, truth = simulator.synthesize(spec)
     return pcm, truth
@@ -61,6 +62,45 @@ def test_segment_program_shared_across_lengths(drop130):
     assert res70.metadata["serial_no"] == truth["serial_no"]
     # same (fs, geometry) key -> cache hit, no new segment program
     assert seg_info_after.misses == seg_info_before.misses
+
+
+def test_segmented_highrate_decimation():
+    """An 88.2 kHz int16 drop through the segmented path (per-segment
+    device decimation) matches the monolithic decimating engine."""
+    spec = simulator.SimSpec(fs=88200, duration=70.0, profile_start=33.0,
+                             seed=41)
+    pcm, truth = simulator.synthesize(spec)
+    raw = np.round(pcm * 28000 / np.max(np.abs(pcm))).astype(np.int16)
+
+    seg = segmented.decode_waveform_segmented(raw, 88200)
+    mono = decode_waveform_tpu(raw, 88200, mode="monolithic")
+    assert seg.status == mono.status == 2
+    assert seg.metadata["serial_no"] == truth["serial_no"]
+    assert seg.metadata == mono.metadata
+    assert isinstance(seg.fs, float) and seg.fs == 44100.0
+    assert seg.numpoints == (len(raw) + 1) // 2 == mono.numpoints
+    a, b = set(seg.hexframes), set(mono.hexframes)
+    assert len(a & b) / max(len(a | b), 1) > 0.98
+
+
+def test_zero_segment_padding_is_neutral(drop130, monkeypatch):
+    """Bucket padding appends shared zero segments; they must not change
+    the decode (130 s = 3 real segments; force a 6-segment bucket)."""
+    pcm, truth = drop130
+    x = _conditioned(pcm)
+    base = segmented.decode_waveform_segmented(x, 44100)
+    monkeypatch.setattr(segmented, "_bucket_count", lambda k: 6)
+    padded = segmented.decode_waveform_segmented(x, 44100)
+    assert padded.status == base.status == 2
+    assert padded.metadata == base.metadata
+    assert padded.hexframes == base.hexframes
+    assert padded.time == base.time
+
+
+def test_bucket_count():
+    assert [segmented._bucket_count(k)
+            for k in (1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 13, 16, 17, 24, 25)] \
+        == [1, 2, 3, 4, 6, 6, 8, 8, 12, 12, 16, 16, 24, 24, 32]
 
 
 def test_segmented_no_pulse():

@@ -1,0 +1,122 @@
+"""int8 host->device wire format (ops.wire) — quantization + decode parity.
+
+The int8 wire halves (vs int16) the upload bytes that bind single-file
+latency on the tunnel-attached chip.  Decode must be unaffected: the
+pipeline is scale-invariant and device conditioning re-removes DC, so an
+int8-quantized drop decodes to the same frames as the int16 original.
+"""
+
+import numpy as np
+import pytest
+
+from axctdprocessor_tpu.ops import wire
+from axctdprocessor_tpu.models import segmented, simulator
+from axctdprocessor_tpu.models.tpu_engine import decode_waveform_tpu
+
+
+@pytest.fixture(scope="module")
+def noisy_int16():
+    """A noisy 70 s drop as int16 (borderline bits stress quantization)."""
+    spec = simulator.SimSpec(duration=70.0, profile_start=33.0, seed=57)
+    pcm, truth = simulator.synthesize(spec)
+    rng = np.random.default_rng(3)
+    raw = np.clip(
+        np.round(pcm * 24000 / np.max(np.abs(pcm)))
+        + rng.integers(-250, 250, len(pcm)),
+        -32768, 32767).astype(np.int16)
+    return raw, truth
+
+
+def test_quantize_int8_properties(rng):
+    x = (rng.standard_normal(100000) * 12000).astype(np.int16)
+    x[:100] = 0  # padding region stays exactly zero
+    q = wire.quantize_int8(x)
+    assert q.dtype == np.int8
+    assert np.all(np.abs(q.astype(np.int32)) <= 127)
+    assert np.max(np.abs(q)) == 127  # peak maps to full scale
+    assert np.all(q[:100] == 0)
+    # quantization error bounded by half an lsb of the int8 grid
+    scale = np.max(np.abs(x)) / 127.0
+    err = x.astype(np.float64) - q.astype(np.float64) * scale
+    assert np.max(np.abs(err)) <= 0.5 * scale + 1e-9
+    # int8 input passes through untouched
+    assert wire.quantize_int8(q) is q
+
+
+def test_encode_rows_per_row_scale():
+    rows = np.stack([
+        np.asarray([0, 1000, -2000, 0], np.int16),
+        np.asarray([0, 30000, 15000, -30000], np.int16),
+    ])
+    q = wire.quantize_int8_rows(rows)
+    assert q.dtype == np.int8
+    # each row quantizes at its own peak
+    assert q[0, 2] == -127 and q[1, 1] == 127
+    assert q[0, 1] == round(1000 * 127 / 2000)
+    # zero padding survives exactly
+    assert q[0, 0] == 0 and q[0, 3] == 0
+
+
+def test_resolve_wire():
+    assert wire.resolve_wire("int16", np.int16) == "int16"
+    assert wire.resolve_wire("int8", np.int16) == "int8"
+    # floats never re-encode
+    assert wire.resolve_wire("int8", np.float32) == "int16"
+    # auto is backend-dependent but must resolve to a concrete format
+    assert wire.resolve_wire("auto", np.int16) in ("int8", "int16")
+    with pytest.raises(ValueError):
+        wire.resolve_wire("int4", np.int16)
+
+
+def test_int8_wire_decode_matches_int16(noisy_int16):
+    raw, truth = noisy_int16
+    r16 = decode_waveform_tpu(raw, 44100, wire="int16")
+    r8 = decode_waveform_tpu(raw, 44100, wire="int8")
+    assert r8.status == r16.status == 2
+    assert r8.metadata == r16.metadata
+    assert r8.metadata["serial_no"] == truth["serial_no"]
+    assert r8.firstpulse400 == r16.firstpulse400
+    assert r8.profstartind == r16.profstartind
+    h16, h8 = r16.hexframes, r8.hexframes
+    agree = sum(a == b for a, b in zip(h16, h8))
+    assert agree >= 0.995 * max(len(h16), len(h8))
+    assert abs(len(r8.time) - len(r16.time)) <= 3
+
+
+def test_int8_wire_segmented(noisy_int16):
+    raw, truth = noisy_int16
+    r16 = segmented.decode_waveform_segmented(raw, 44100, wire="int16")
+    r8 = segmented.decode_waveform_segmented(raw, 44100, wire="int8")
+    assert r8.status == 2
+    assert r8.metadata == r16.metadata
+    h16, h8 = r16.hexframes, r8.hexframes
+    agree = sum(a == b for a, b in zip(h16, h8))
+    assert agree >= 0.995 * max(len(h16), len(h8))
+
+
+def test_int8_wire_batch(noisy_int16):
+    from axctdprocessor_tpu.parallel.batch import decode_batch
+
+    raw, truth = noisy_int16
+    batch = np.stack([raw, raw])
+    r16 = decode_batch(batch, 44100, wire="int16")
+    r8 = decode_batch(batch, 44100, wire="int8")
+    for a, b in zip(r8, r16):
+        assert a.status == b.status == 2
+        assert a.metadata == b.metadata
+        agree = sum(x == y for x, y in zip(a.hexframes, b.hexframes))
+        assert agree >= 0.995 * max(len(a.hexframes), len(b.hexframes))
+
+
+def test_wav_raw16_through_int8_wire(default_drop_wav):
+    """decode_wav_tpu's raw read + explicit int8 wire preserves decode."""
+    from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
+
+    wav, truth = default_drop_wav
+    res = decode_wav_tpu(wav, wire="int8")
+    ref = decode_wav_tpu(wav, wire="int16")
+    assert res.status == 2
+    assert res.metadata == ref.metadata
+    assert res.metadata["serial_no"] == truth["serial_no"]
+    agree = sum(a == b for a, b in zip(res.hexframes, ref.hexframes))
+    assert agree >= 0.995 * max(len(res.hexframes), len(ref.hexframes))
