@@ -68,9 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Drops per device batch in archive mode")
     p.add_argument("--no-resume", action="store_true",
                    help="Archive mode: re-decode files already in the manifest")
-    p.add_argument("--wire", choices=["auto", "int16", "int8"], default="auto",
+    p.add_argument("--wire", choices=["auto", "int16", "int8", "int4"],
+                   default="auto",
                    help="TPU-engine upload format for integer PCM: int8 "
                         "halves the host->device bytes (decode-equivalent); "
+                        "int4 quarters them (lossy opt-in, ~26 dB SNR); "
                         "auto picks int8 on real TPU hardware")
     p.add_argument("--quiet", action="store_true", help="Suppress progress output")
     p.add_argument("--diagnostics", action="store_true",

@@ -19,9 +19,10 @@ multi-minute remote compile).  This module bounds both:
   is bounded by padding the segment count to {2^p, 3*2^p} buckets, so
   all file lengths share O(log) assemble programs with <= 33% padding.
 
-Segment length is 1500 power-window strides (= exactly 60 s at any fs
-where fs/25 is integral), keeping the global 25 Hz window grid aligned
-across segment boundaries.  >50 kHz WAVs decimate by 2 on device inside
+Segment length is a whole number of power-window strides (keeping the
+global 25 Hz window grid aligned across segment boundaries), chosen as
+the largest that fits a 2^21-point FFT with halos (~47 s at 44.1 kHz) —
+see _seg_geometry.  >50 kHz WAVs decimate by 2 on device inside
 each segment program (the halos absorb the zero-phase anti-alias
 filter's ring), so long high-rate files keep both the streamed raw
 upload and the bounded compile.
@@ -45,16 +46,23 @@ from ..utils.config import DecoderConfig
 from . import tpu_engine as eng
 from .parity_engine import DecodeResult
 
-SEG_STRIDES = 1500          # segment length in power-window strides (~60 s)
+SEG_NFFT = 1 << 21          # per-segment FFT size (fixed pow2)
 LEFT_HALO = 4096            # raw ring-in for the filter (transient < ~1k)
 BIG = np.iinfo(np.int32).max // 2
 
 
 def _seg_geometry(fs: float):
+    """Segment geometry: the largest whole-stride segment whose haloed
+    extension fits SEG_NFFT exactly (~47 s at 44.1 kHz, ~43.5 s at
+    48 kHz).  Sizing the segment to the FFT rather than the FFT to the
+    segment keeps the pow2 pad waste at <0.5% — at 1500 strides the
+    2.65M extension paid a 4.19M-point FFT, 1.58x the work (measured
+    30 ms of a ~50 ms segment program)."""
     d_pcm = int(round(fs / 25))
     n_power = int(fs / 10)
-    seg_len = SEG_STRIDES * d_pcm
     right = n_power  # covers window straddle and crossing-probe lookahead
+    strides = (SEG_NFFT - LEFT_HALO - right) // d_pcm
+    seg_len = strides * d_pcm
     c_seg = max(int(seg_len / fs * chain_ops.CROSSINGS_PER_SECOND) + 256,
                 1024)
     return d_pcm, n_power, seg_len, right, c_seg
@@ -62,7 +70,8 @@ def _seg_geometry(fs: float):
 
 @functools.lru_cache(maxsize=8)
 def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
-                     integer_input: bool, decim2: bool = False):
+                     integer_input: bool, decim2: bool = False,
+                     wire4: bool = False):
     """One fixed-shape stage-1 segment: conditioning, overlap-save FFT
     filter, tone powers on the global grid, crossings + per-crossing
     probes.  Compiled once per (fs, config geometry) for every file.
@@ -81,7 +90,12 @@ def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
 
     def run(seg_ext, dc, peak, k_off, n_valid, ptrig, sos_arr, btrig,
             decim_sos):
-        x = seg_ext.astype(jnp.float32) if integer_input else seg_ext
+        if wire4:
+            x = eng.unpack_int4(seg_ext, in_len).astype(jnp.float32)
+        elif integer_input:
+            x = seg_ext.astype(jnp.float32)
+        else:
+            x = seg_ext
         gpos_raw = jnp.arange(in_len) + raw_mult * (k_off - LEFT_HALO)
         x = jnp.where((gpos_raw >= 0) & (gpos_raw < n_valid),
                       (x - dc) / peak, 0.0)
@@ -100,10 +114,10 @@ def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
         filt = jnp.fft.irfft(spec, nfft)[:ext_len].astype(jnp.float32)
 
         # tone powers on the global 25 Hz grid (raw; smoothing is global);
-        # body length seg_len + n_power gives exactly SEG_STRIDES windows
+        # body length seg_len + n_power gives exactly seg_len/d_pcm windows
         body = x[LEFT_HALO : LEFT_HALO + seg_len + right]
         powers = goertzel.framed_tone_power_tiled(body, n_power, d_pcm,
-                                                  ptrig)  # (SEG_STRIDES, F)
+                                                  ptrig)  # (strides, F)
 
         # crossings within [0, seg_len) local, global-position masked
         fbody = filt[LEFT_HALO:]
@@ -126,8 +140,8 @@ def _assemble_program(n_seg: int, dims, fs: float, bitrate: float):
     bit-edge chain, and hand off to the fused device back half."""
     def run(powers, gpos, p1, p2, n_valid, trig_i, trig_f, hdr_rel,
             calib_off, coeff_defaults, temp_lut, limits):
-        # powers: (n_seg, SEG_STRIDES, F) -> global smoothed ratios
-        p = powers.reshape(n_seg * SEG_STRIDES, -1)
+        # powers: (n_seg, strides, F) -> global smoothed ratios
+        p = powers.reshape(-1, powers.shape[-1])
         sm = [iir.boxsmooth_lag(p[:, i], 5) for i in range(3)]
         r400 = jnp.log10(sm[0] / sm[2])
         r7500 = jnp.log10(sm[1] / sm[2])
@@ -154,15 +168,17 @@ def _assemble_program(n_seg: int, dims, fs: float, bitrate: float):
 
 
 def _bucket_count(k: int) -> int:
-    """Smallest of {2^p, 3*2^p} >= k: segment counts share O(log) assemble
-    programs with <= 33% padding (pure pow2 wasted up to 2x — for a 600 s
-    file, 6 of 16 crossing-table segments were zero padding feeding the
-    chain's full-table squaring gathers)."""
-    k = max(k, 1)
-    p2 = 1 << max(int(np.ceil(np.log2(k))), 0)
-    if 3 * (p2 // 4) >= k and p2 >= 4:
-        return 3 * (p2 // 4)
-    return p2
+    """Smallest m * 2^e >= k with mantissa m in {4..7} (exact below 4):
+    segment counts share O(log) assemble programs (4 per octave, each a
+    one-time cached compile) with <= 25% padding.  Pure pow2 padding
+    wasted up to 2x — zero-padding segments feed the assemble chain's
+    full-table squaring gathers, the decode's most expensive op."""
+    if k <= 4:
+        return max(k, 1)
+    e = 0
+    while (k + (1 << e) - 1) >> e > 7:
+        e += 1
+    return ((k + (1 << e) - 1) >> e) << e
 
 
 def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
@@ -179,10 +195,9 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
     """
     cfg = config or DecoderConfig()
     pcm = np.asarray(pcm)
-    if np.issubdtype(pcm.dtype, np.integer):
-        from ..ops import wire as wire_ops
-
-        pcm = wire_ops.encode(pcm, wire)
+    if pcm.dtype == np.uint8:
+        raise ValueError("pass unpacked integer PCM with wire='int4'; "
+                         "pre-packed nibble streams lose the sample count")
     # >50 kHz input decimates by 2 on device, per segment; the report
     # prints the halved rate as a float (reference host `fs /= 2`)
     decim2 = float(fs) > 50000.0
@@ -199,9 +214,21 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
 
     integer_input = bool(np.issubdtype(pcm.dtype, np.integer))
+    wire4 = False
     if integer_input:
-        dc = float(np.mean(pcm))
-        peak = max(float(np.max(np.abs(pcm))), 1.0) if n_raw else 1.0
+        from ..ops import wire as wire_ops
+
+        w = wire_ops.resolve_wire(wire, pcm.dtype)
+        ext_len_chk = LEFT_HALO + seg_len + right
+        if w == "int4" and (seg_len % 2 or ext_len_chk % 2):
+            w = "int8"  # packed slicing needs even segment boundaries
+        pcm = wire_ops.encode(pcm, w)
+        wire4 = pcm.dtype == np.uint8
+        if wire4:
+            dc, peak = wire_ops.int4_stats(pcm, n_raw)
+        else:
+            dc = float(np.mean(pcm))
+            peak = max(float(np.max(np.abs(pcm))), 1.0) if n_raw else 1.0
     else:
         dc, peak = 0.0, 1.0  # float input arrives conditioned
         pcm = pcm.astype(np.float32)
@@ -213,7 +240,7 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
     power_trig, bit_trig, sos = eng.engine_tables(cfg, fs, dims)
 
     seg_fn = _segment_program(fs, npcm, cfg.bit_inset, 100, integer_input,
-                              decim2)
+                              decim2, wire4)
     pt = jnp.asarray(power_trig, jnp.float32)
     so = jnp.asarray(sos, jnp.float32)
     bt = jnp.asarray(bit_trig, jnp.float32)
@@ -225,14 +252,20 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
 
     ext_len = LEFT_HALO + seg_len + right
     in_len = ext_len * raw_mult
+    # packed int4 slices in the byte domain (2 samples/byte; boundaries
+    # are even by the geometry check above, only n_raw itself may be odd)
+    pk = 2 if wire4 else 1
+    buf_len = in_len // pk
+    fill = np.uint8(0x88) if wire4 else pcm.dtype.type(0)
     outs = []
     for k in range(n_seg):
         lo = (k * seg_len - LEFT_HALO) * raw_mult
         hi = (k * seg_len + seg_len + right) * raw_mult
-        ext = np.zeros(in_len, dtype=pcm.dtype)
+        ext = np.full(buf_len, fill, dtype=pcm.dtype)
         src_lo, src_hi = max(lo, 0), min(hi, n_raw)
         if src_hi > src_lo:
-            ext[src_lo - lo : src_hi - lo] = pcm[src_lo:src_hi]
+            ext[(src_lo - lo) // pk : (src_hi - lo + pk - 1) // pk] = \
+                pcm[src_lo // pk : (src_hi + pk - 1) // pk]
         # async: upload segment k+1 while k computes
         outs.append(seg_fn(jnp.asarray(ext), dc_d, peak_d,
                            jnp.asarray(k * seg_len, jnp.int32), nv,
@@ -240,7 +273,7 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
     if n_seg_pad > n_seg:
         # one shared zero-segment output for every padded slot (zero
         # input + out-of-range positions -> no crossings, zero powers)
-        zero = seg_fn(jnp.asarray(np.zeros(in_len, pcm.dtype)), dc_d,
+        zero = seg_fn(jnp.asarray(np.full(buf_len, fill, pcm.dtype)), dc_d,
                       peak_d, jnp.asarray(n_seg * seg_len, jnp.int32), nv,
                       pt, so, bt, ds)
         outs.extend([zero] * (n_seg_pad - n_seg))

@@ -123,6 +123,19 @@ def sos_response_on_device(sos_arr, nfft: int):
     return h
 
 
+def unpack_int4(packed, n: int):
+    """Unpack ops.wire's 2-samples-per-byte int4 stream to int32 PCM.
+
+    Interleaving is two interior-padded adds (lax.pad) — no (N, 2)
+    intermediate, which would pad to 128 TPU lanes (64x the bytes)."""
+    u = packed.astype(jnp.int32)
+    hi = (u >> 4) - 8
+    lo = (u & 15) - 8
+    x = jax.lax.pad(hi, jnp.int32(0), [(0, 1, 1)]) \
+        + jax.lax.pad(lo, jnp.int32(0), [(1, 0, 1)])
+    return x[:n]
+
+
 def condition_integer(pcm, n: int, n_valid):
     """Device conditioning of raw integer PCM: DC removal + peak
     normalization (reference readAXCTDwavfile, AXCTDprocessor.py:55-57).
@@ -166,6 +179,8 @@ def decimate2_on_device(x, n_valid, decim_sos):
 def stage1_core(pcm, power_trig, sos_arr, bit_trig,
                 dims: EngineDims, fs: float, bitrate: float, bit_inset: int,
                 edge_pad: int, use_pallas: bool = False, n_valid=None):
+    if pcm.dtype == jnp.uint8:  # packed int4 wire
+        pcm = unpack_int4(pcm, 2 * pcm.shape[0])
     if jnp.issubdtype(pcm.dtype, jnp.integer):
         x = condition_integer(pcm, dims.n, n_valid)
     else:
@@ -529,6 +544,8 @@ def fused_core(pcm, n_valid, power_trig, sos_arr, bit_trig, trig_i, trig_f,
     first, so high-rate files keep the half-size integer transfer
     (reference AXCTDprocessor.py:60-62 does this on host with scipy).
     ``dims``/``fs`` always describe the post-decimation stream."""
+    if pcm.dtype == jnp.uint8:  # packed int4 wire
+        pcm = unpack_int4(pcm, 2 * pcm.shape[0])
     if decimate2:
         if jnp.issubdtype(pcm.dtype, jnp.integer):
             x = condition_integer(pcm, pcm.shape[0], n_valid)
@@ -732,16 +749,18 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     """
     cfg = config or DecoderConfig()
     pcm = np.asarray(pcm)
-    if np.issubdtype(pcm.dtype, np.integer):
-        from ..ops import wire as wire_ops
-
-        pcm = wire_ops.encode(pcm, wire)
     if mode != "monolithic":
         n0 = len(pcm)
         if mode == "segmented" or n0 > AUTO_SEGMENT_SECONDS * float(fs):
             from .segmented import decode_waveform_segmented
 
-            return decode_waveform_segmented(pcm, fs, config=cfg)
+            return decode_waveform_segmented(pcm, fs, config=cfg, wire=wire)
+    n_raw = int(len(pcm))  # true sample count (before any wire packing)
+    if np.issubdtype(pcm.dtype, np.integer):
+        from ..ops import wire as wire_ops
+
+        pcm = wire_ops.encode(pcm, wire)
+    packed4 = pcm.dtype == np.uint8  # int4 wire: 2 samples/byte
     # >50 kHz input decimates by 2 on device; the report then prints the
     # halved rate as a float, exactly like the reference's host `fs /= 2`
     decimate2 = float(fs) > 50000.0
@@ -753,15 +772,22 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
         # after decimation (so e.g. 48 kHz from a 96 kHz WAV is "48000.0")
         fs_report = float(fs) if isinstance(fs, float) else int(fs)
         fs = float(fs)
-    pcm = np.asarray(pcm)
-    n_raw = int(len(pcm))
     rate_mult = 2 if decimate2 else 1
     if pad_to_bucket:
         unit = int(BUCKET_SECONDS * fs) * rate_mult
         n_padded = max(int(np.ceil(n_raw / unit)) * unit, unit)
-        if n_padded != n_raw:
-            pcm = np.concatenate([pcm, np.zeros(n_padded - n_raw, pcm.dtype)])
-    n_padded = len(pcm)
+    else:
+        # the packed layout needs an even sample count
+        n_padded = n_raw + (n_raw % 2) if packed4 else n_raw
+    if packed4:
+        # pad with 0x88 (two zero-level nibbles), NOT zero bytes, so the
+        # device-side DC mean over the padded tail stays exact
+        need = n_padded // 2
+        if len(pcm) < need:
+            pcm = np.concatenate(
+                [pcm, np.full(need - len(pcm), 0x88, np.uint8)])
+    elif n_padded != n_raw:
+        pcm = np.concatenate([pcm, np.zeros(n_padded - n_raw, pcm.dtype)])
     # decode-rate quantities (post-decimation when decimate2)
     n = (n_raw + 1) // 2 if decimate2 else n_raw
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset

@@ -54,7 +54,7 @@ def compact_indices(mask: jnp.ndarray, size: int, fill: int):
 
 
 def chain_enumerate(next_idx: jnp.ndarray, start, length: int,
-                    max_level: int = 9) -> jnp.ndarray:
+                    max_level: int = 6) -> jnp.ndarray:
     """Iterate ``chain[j+1] = next_idx[chain[j]]`` for `length` steps.
 
     `next_idx` must map fixed points to themselves at chain ends; the
@@ -67,8 +67,8 @@ def chain_enumerate(next_idx: jnp.ndarray, start, length: int,
     own length.  The tail is filled by a `lax.scan` over span-sized
     chunks (``chunk_{t+1} = jumps[chunk_t]``), so the extension count
     never bloats the HLO graph and the per-chunk cost is span gathers +
-    one loop step (~10 us).  At 600 s engine scale this trades ~4
-    squarings (~56 ms) for ~15 ms of scanning.
+    ~2 us of loop overhead.  Swept on chip at 600 s engine scale
+    (M=1.8M, k=600k): level 6 = 106 ms, 8 = 128 ms, 11 = 164 ms.
     """
     k = int(length)
     jumps = next_idx.astype(jnp.int32)
@@ -110,14 +110,22 @@ def bit_edge_successors(crossings: jnp.ndarray, n_valid, fs: float,
     m = crossings.shape[0]
     big = jnp.asarray(np.iinfo(np.int32).max // 2, dtype=crossings.dtype)
     padded = jnp.concatenate([crossings, jnp.full((5,), big, crossings.dtype)])
-    cand = jnp.stack([padded[s : s + m] for s in range(1, 5)], axis=1)  # (M, 4)
     # distances computed on small integer gaps first — comparing absolute
-    # sample positions in f32 would quantize by ~2 samples on long files
-    gaps = (cand - crossings[:, None]).astype(jnp.float32)
+    # sample positions in f32 would quantize by ~2 samples on long files.
+    # The 4 candidates are folded pairwise as (M,) streams: an (M, 4)
+    # stack would tile-pad the 4-lane minor dim to 128 on TPU (32x HBM)
     target = jnp.asarray(fs / bitrate, jnp.float32)
-    pick = jnp.argmin(jnp.abs(gaps - target), axis=1)
+    pick = jnp.zeros((m,), jnp.int32)
+    best = jnp.abs((padded[1 : 1 + m] - crossings).astype(jnp.float32)
+                   - target)
+    for s in range(2, 5):
+        d = jnp.abs((padded[s : s + m] - crossings).astype(jnp.float32)
+                    - target)
+        better = d < best  # strict: argmin ties keep the earlier candidate
+        pick = jnp.where(better, s - 1, pick)
+        best = jnp.where(better, d, best)
     idx = jnp.arange(m, dtype=jnp.int32)
-    nxt = idx + 1 + pick.astype(jnp.int32)
+    nxt = idx + 1 + pick
     nxt = jnp.where(idx < n_valid - 5, nxt, idx)  # chain stops at c >= m-5
     return jnp.clip(nxt, 0, m - 1)
 

@@ -88,23 +88,26 @@ def check_crc_all_windows_np(bitstream: np.ndarray) -> np.ndarray:
     return ~rem.any(axis=1)
 
 
+# parity rows packed into one int per row: bit j of _PACKED[i] is
+# _PARITY[i, j].  XOR accumulates each field mod 2 with no cross-field
+# carries, so the whole 6-lane remainder rides ONE int32 stream.
+_PACKED = (_PARITY.astype(np.int32) << np.arange(CRC_BITS)).sum(axis=1)
+
+
 def check_crc_all_windows(bitstream: jnp.ndarray) -> jnp.ndarray:
     """CRC validity of every 32-bit sliding window (JAX, TPU-friendly).
 
     `bitstream` is an int array of 0/1 of static length N; returns a bool
     array of length N (positions past N-32 are False).  Implemented as 32
-    shifted adds of parity-row masks — pure VPU work, no gathers, fuses
-    into surrounding ops under jit.
+    shifted XORs of bit-packed parity rows — pure VPU work on a single
+    (N,) int32 stream, no gathers, no trailing small dim (a (N, 6)
+    remainder would pad to 128 TPU lanes: 21x the HBM traffic).
     """
     bits = bitstream.astype(jnp.int32)
     n = bits.shape[0]
-    parity = jnp.asarray(_PARITY, dtype=jnp.int32)  # (32, 6)
-    # rem[s, j] = sum_i bits[s + i] * parity[i, j]  (mod 2)
-    rem = jnp.zeros((n, CRC_BITS), dtype=jnp.int32)
+    rem = jnp.zeros((n,), dtype=jnp.int32)
     for i in range(FRAME_BITS):
-        shifted = jnp.roll(bits, -i)[:, None]  # bits[s + i] with wraparound
-        rem = rem + shifted * parity[i][None, :]
-    valid = jnp.all(rem % 2 == 0, axis=1)
-    # windows that would run off the end are invalid
+        # bits[s + i] selects row i's packed parity (bits are 0/1)
+        rem = rem ^ (jnp.roll(bits, -i) * int(_PACKED[i]))
     idx = jnp.arange(n)
-    return valid & (idx <= n - FRAME_BITS)
+    return (rem == 0) & (idx <= n - FRAME_BITS)

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 
-WIRE_FORMATS = ("auto", "int16", "int8")
+WIRE_FORMATS = ("auto", "int16", "int8", "int4")
 
 
 def default_wire() -> str:
@@ -40,7 +40,12 @@ def default_wire() -> str:
 
 def resolve_wire(wire: str, dtype) -> str:
     """Resolve a wire request against the input dtype (floats ship as-is:
-    they arrive already conditioned and are not renormalized on device)."""
+    they arrive already conditioned and are not renormalized on device).
+
+    "int4" is opt-in only (never chosen by "auto"): at ~26 dB
+    quantization SNR it is a documented lossy trade — clean recordings
+    decode identically, marginal ones may lose borderline frames to the
+    CRC gate — for a 4x smaller upload than int16."""
     if wire not in WIRE_FORMATS:
         raise ValueError(f"wire must be one of {WIRE_FORMATS}, got {wire!r}")
     if not np.issubdtype(np.dtype(dtype), np.integer):
@@ -82,13 +87,74 @@ def quantize_int8_rows(pcms: np.ndarray) -> np.ndarray:
     return q.astype(np.int8)
 
 
+def quantize_int4_packed(pcm: np.ndarray) -> np.ndarray:
+    """Quantize integer PCM to 4 bits and pack two samples per byte.
+
+    Sample k lives in byte k//2 — even samples in the high nibble — as
+    ``clip(rint(pcm * 7/peak), -7, 7) + 8``; an odd final sample is
+    padded with the zero level.  Device-side inverse:
+    tpu_engine.unpack_int4."""
+    pcm = np.asarray(pcm)
+    peak = float(np.max(np.abs(pcm))) if pcm.size else 0.0
+    q = np.multiply(pcm, np.float32(7.0 / max(peak, 1.0)), dtype=np.float32)
+    np.rint(q, out=q)
+    q = (np.clip(q, -7, 7) + 8).astype(np.uint8)
+    if len(q) % 2:
+        q = np.concatenate([q, np.asarray([8], np.uint8)])
+    return (q[0::2] << 4) | q[1::2]
+
+
+def quantize_int4_packed_rows(pcms: np.ndarray) -> np.ndarray:
+    """Row-wise packed int4 for a (B, N) integer batch (per-row peak)."""
+    pcms = np.asarray(pcms)
+    peaks = np.max(np.abs(pcms), axis=1, keepdims=True).astype(np.float32)
+    q = np.multiply(pcms, np.float32(7.0) / np.maximum(peaks, 1.0),
+                    dtype=np.float32)
+    np.rint(q, out=q)
+    q = (np.clip(q, -7, 7) + 8).astype(np.uint8)
+    if q.shape[1] % 2:
+        pad = np.full((q.shape[0], 1), 8, np.uint8)
+        q = np.concatenate([q, pad], axis=1)
+    return (q[:, 0::2] << 4) | q[:, 1::2]
+
+
+def int4_stats(packed: np.ndarray, n: int) -> tuple[float, float]:
+    """(dc, peak) of the unpacked int4 samples — the host statistics the
+    segmented decoder's device conditioning uses.  Padding nibbles encode
+    value 0, so sums over the packed array are exact for any n."""
+    u = packed.astype(np.int32)
+    hi = (u >> 4) - 8
+    lo = (u & 15) - 8
+    dc = float(hi.sum(dtype=np.int64) + lo.sum(dtype=np.int64)) / max(n, 1)
+    peak = float(max(np.max(np.abs(hi)), np.max(np.abs(lo)))) if n else 1.0
+    return dc, max(peak, 1.0)
+
+
 def encode(pcm: np.ndarray, wire: str) -> np.ndarray:
-    """Encode a 1-D integer waveform for the requested wire format."""
-    w = resolve_wire(wire, np.asarray(pcm).dtype)
-    return quantize_int8(pcm) if w == "int8" else np.asarray(pcm)
+    """Encode a 1-D integer waveform for the requested wire format.
+
+    int4 output is a packed uint8 array of ceil(n/2) bytes — consumers
+    recognize it by dtype (uint8 == packed nibbles) and unpack on
+    device."""
+    pcm = np.asarray(pcm)
+    if pcm.dtype == np.uint8:
+        return pcm  # already packed int4
+    w = resolve_wire(wire, pcm.dtype)
+    if w == "int8":
+        return quantize_int8(pcm)
+    if w == "int4":
+        return quantize_int4_packed(pcm)
+    return pcm
 
 
 def encode_rows(pcms: np.ndarray, wire: str) -> np.ndarray:
     """Encode a (B, N) integer batch for the requested wire format."""
-    w = resolve_wire(wire, np.asarray(pcms).dtype)
-    return quantize_int8_rows(pcms) if w == "int8" else np.asarray(pcms)
+    pcms = np.asarray(pcms)
+    if pcms.dtype == np.uint8:
+        return pcms  # already packed int4
+    w = resolve_wire(wire, pcms.dtype)
+    if w == "int8":
+        return quantize_int8_rows(pcms)
+    if w == "int4":
+        return quantize_int4_packed_rows(pcms)
+    return pcms

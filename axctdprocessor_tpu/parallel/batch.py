@@ -147,17 +147,19 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     fs_report = float(fs) if isinstance(fs, float) else int(fs)
     fs = float(fs)
     pcms = np.asarray(pcms)
+    b_orig, n = pcms.shape
+    if lengths is None:
+        lengths = np.full(b_orig, n, np.int32)
+    lengths = np.asarray(lengths, np.int32)
     if np.issubdtype(pcms.dtype, np.integer):
         from ..ops import wire as wire_ops
 
         pcms = wire_ops.encode_rows(pcms, wire)
-    b_orig = pcms.shape[0]
-    if lengths is None:
-        lengths = np.full(b_orig, pcms.shape[1], np.int32)
-    lengths = np.asarray(lengths, np.int32)
+        if pcms.dtype == np.uint8:
+            n += n % 2  # packed int4 rows carry an even sample count
     if mesh is not None:
         (pcms, lengths), _ = pad_to_multiple([pcms, lengths], mesh.shape["dp"])
-    b, n = pcms.shape
+    b = pcms.shape[0]
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
     ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)

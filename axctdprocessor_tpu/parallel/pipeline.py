@@ -60,7 +60,13 @@ def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
     batches = list(batches)
     if not batches:
         return []
-    n = np.asarray(batches[0][0]).shape[1]
+    n = int(np.asarray(batches[0][0]).shape[1])
+    from ..ops import wire as wire_ops
+
+    first = np.asarray(batches[0][0])
+    if np.issubdtype(first.dtype, np.integer) \
+            and wire_ops.resolve_wire(wire, first.dtype) == "int4":
+        n += n % 2  # packed int4 rows carry an even sample count
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
     ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)
@@ -87,8 +93,6 @@ def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
         out, lengths = item
         results.append(finish_batch(jax.device_get(out), cfg, fs, fs_report,
                                     lengths))
-
-    from ..ops import wire as wire_ops
 
     for pcms, lengths in batches:
         pcms = np.asarray(pcms)

@@ -142,6 +142,24 @@ def main():
     wall = min(times)
     rtf = DURATION / wall
 
+    # secondary: the opt-in lossy int4 wire (quarter the upload bytes);
+    # reported only if it decodes this drop to the same metadata and
+    # ~the same frame count as the default path
+    int4_rtf = None
+    try:
+        r4 = decode_wav_tpu(wav, wire="int4")  # warm/compile
+        assert r4.status == 2 and r4.metadata["serial_no"] == truth["serial_no"]
+        assert abs(len(r4.hexframes) - len(res.hexframes)) \
+            <= 0.01 * len(res.hexframes)
+        t4 = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            decode_wav_tpu(wav, wire="int4")
+            t4.append(time.perf_counter() - t0)
+        int4_rtf = round(DURATION / min(t4), 1)
+    except Exception:
+        pass
+
     batch_rtf, batch_wall = batch_throughput()
 
     print(json.dumps({
@@ -150,6 +168,7 @@ def main():
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / REFERENCE_RTF, 2),
         "single_wall_s": round(wall, 3),
+        "int4_rtf": int4_rtf,
         "batch_rtf": round(batch_rtf, 1),
         "batch_drops": BATCH_DROPS,
         "batch_wall_s": round(batch_wall, 3),

@@ -98,9 +98,12 @@ def test_zero_segment_padding_is_neutral(drop130, monkeypatch):
 
 
 def test_bucket_count():
-    assert [segmented._bucket_count(k)
-            for k in (1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 13, 16, 17, 24, 25)] \
-        == [1, 2, 3, 4, 6, 6, 8, 8, 12, 12, 16, 16, 24, 24, 32]
+    ks = (1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 13, 16, 17, 24, 25, 29, 57)
+    want = (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 64)
+    assert tuple(segmented._bucket_count(k) for k in ks) == want
+    for k in range(1, 2000):
+        b = segmented._bucket_count(k)
+        assert b >= k and b <= max(int(np.ceil(k * 1.25)), k + 1)
 
 
 def test_segmented_no_pulse():

@@ -12,6 +12,7 @@ import pytest
 from axctdprocessor_tpu.ops import wire
 from axctdprocessor_tpu.models import segmented, simulator
 from axctdprocessor_tpu.models.tpu_engine import decode_waveform_tpu
+from axctdprocessor_tpu.utils.wavio import read_wav_raw16
 
 
 @pytest.fixture(scope="module")
@@ -64,8 +65,10 @@ def test_resolve_wire():
     assert wire.resolve_wire("int8", np.float32) == "int16"
     # auto is backend-dependent but must resolve to a concrete format
     assert wire.resolve_wire("auto", np.int16) in ("int8", "int16")
+    # int4 is valid but strictly opt-in: auto never chooses it
+    assert wire.resolve_wire("int4", np.int16) == "int4"
     with pytest.raises(ValueError):
-        wire.resolve_wire("int4", np.int16)
+        wire.resolve_wire("int2", np.int16)
 
 
 def test_int8_wire_decode_matches_int16(noisy_int16):
@@ -106,6 +109,41 @@ def test_int8_wire_batch(noisy_int16):
         assert a.metadata == b.metadata
         agree = sum(x == y for x, y in zip(a.hexframes, b.hexframes))
         assert agree >= 0.995 * max(len(a.hexframes), len(b.hexframes))
+
+
+def test_int4_pack_unpack_roundtrip(rng):
+    from axctdprocessor_tpu.models.tpu_engine import unpack_int4
+    import jax.numpy as jnp
+
+    for n in (10, 11, 100001):
+        x = (rng.standard_normal(n) * 9000).astype(np.int16)
+        packed = wire.quantize_int4_packed(x)
+        assert packed.dtype == np.uint8 and len(packed) == (n + 1) // 2
+        got = np.asarray(unpack_int4(jnp.asarray(packed), n))
+        peak = np.max(np.abs(x))
+        want = np.clip(np.rint(x * 7.0 / peak), -7, 7)
+        np.testing.assert_array_equal(got, want)
+        dc, pk = wire.int4_stats(packed, n)
+        assert dc == pytest.approx(float(np.mean(want)), abs=1e-12)
+        assert pk == max(float(np.max(np.abs(want))), 1.0)
+
+
+def test_int4_wire_decode(default_drop_wav):
+    """Opt-in int4 wire on a clean drop: same metadata, ~same frames."""
+    wav, truth = default_drop_wav
+    raw, fs = read_wav_raw16(wav)
+    r16 = decode_waveform_tpu(raw, fs, wire="int16")
+    r4 = decode_waveform_tpu(raw, fs, wire="int4")
+    assert r4.status == 2
+    assert r4.metadata == r16.metadata
+    assert r4.metadata["serial_no"] == truth["serial_no"]
+    agree = sum(a == b for a, b in zip(r16.hexframes, r4.hexframes))
+    assert agree >= 0.98 * max(len(r16.hexframes), len(r4.hexframes))
+
+    s4 = segmented.decode_waveform_segmented(raw, fs, wire="int4")
+    assert s4.status == 2 and s4.metadata["serial_no"] == truth["serial_no"]
+    agree = sum(a == b for a, b in zip(s4.hexframes, r4.hexframes))
+    assert agree >= 0.98 * max(len(s4.hexframes), len(r4.hexframes))
 
 
 def test_wav_raw16_through_int8_wire(default_drop_wav):
