@@ -96,10 +96,10 @@ def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
 
     for pcms, lengths in batches:
         pcms = np.asarray(pcms)
-        if np.issubdtype(pcms.dtype, np.integer):
-            pcms = wire_ops.encode_rows(pcms, wire)
         lengths = np.asarray(lengths if lengths is not None
                              else [pcms.shape[1]] * pcms.shape[0], np.int32)
+        if np.issubdtype(pcms.dtype, np.integer):
+            pcms = wire_ops.encode_rows(pcms, wire)
         x = jax.device_put(pcms if np.issubdtype(pcms.dtype, np.integer)
                            else pcms.astype(np.float32), d_front)
         nv = jax.device_put(lengths, d_front)

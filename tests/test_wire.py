@@ -146,6 +146,37 @@ def test_int4_wire_decode(default_drop_wav):
     assert agree >= 0.98 * max(len(s4.hexframes), len(r4.hexframes))
 
 
+def test_int4_wire_batch_and_pipeline(noisy_int16):
+    from axctdprocessor_tpu.parallel.batch import decode_batch
+    from axctdprocessor_tpu.parallel.pipeline import decode_batches_pipelined
+
+    raw, truth = noisy_int16
+    batch = np.stack([raw, raw])
+    r16 = decode_batch(batch, 44100, wire="int16")
+    r4 = decode_batch(batch, 44100, wire="int4")
+    for a, b in zip(r4, r16):
+        assert a.status == b.status == 2
+        assert a.metadata == b.metadata
+        agree = sum(x == y for x, y in zip(a.hexframes, b.hexframes))
+        assert agree >= 0.95 * max(len(a.hexframes), len(b.hexframes))
+
+    # the pipelined path (stage1 + back half) computes the same ops as
+    # the fused program: int4 results must match decode_batch exactly
+    piped = decode_batches_pipelined([(batch, None)], 44100, wire="int4")
+    for a, b in zip(piped[0], r4):
+        assert a.hexframes == b.hexframes
+        assert a.metadata == b.metadata
+
+
+def test_int4_wire_odd_length(noisy_int16):
+    """An odd sample count exercises the trailing pad nibble."""
+    raw, truth = noisy_int16
+    res = decode_waveform_tpu(raw[:-1], 44100, wire="int4")
+    assert res.status == 2
+    assert res.metadata["serial_no"] == truth["serial_no"]
+    assert res.numpoints == len(raw) - 1
+
+
 def test_wav_raw16_through_int8_wire(default_drop_wav):
     """decode_wav_tpu's raw read + explicit int8 wire preserves decode."""
     from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
