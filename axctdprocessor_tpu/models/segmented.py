@@ -46,18 +46,19 @@ from ..utils.config import DecoderConfig
 from . import tpu_engine as eng
 from .parity_engine import DecodeResult
 
-SEG_NFFT = 1 << 21          # per-segment FFT size (fixed pow2)
+SEG_NFFT = 1 << 20          # per-segment FFT size (fixed pow2)
 LEFT_HALO = 4096            # raw ring-in for the filter (transient < ~1k)
 BIG = np.iinfo(np.int32).max // 2
 
 
 def _seg_geometry(fs: float):
     """Segment geometry: the largest whole-stride segment whose haloed
-    extension fits SEG_NFFT exactly (~47 s at 44.1 kHz, ~43.5 s at
-    48 kHz).  Sizing the segment to the FFT rather than the FFT to the
-    segment keeps the pow2 pad waste at <0.5% — at 1500 strides the
-    2.65M extension paid a 4.19M-point FFT, 1.58x the work (measured
-    30 ms of a ~50 ms segment program)."""
+    extension fits SEG_NFFT exactly (~23.6 s at 44.1 kHz).  Sizing the
+    segment to the FFT rather than the FFT to the segment keeps the pow2
+    pad waste at <1% (1500 strides paid a 4.19M-point FFT for a 2.65M
+    extension, 1.58x the work).  2^20 was chosen by fresh-process A/B on
+    the chip: 600 s decode 1.02-1.09 s vs 1.08-1.17 s at 2^21 and ~3.6 s
+    at 2^22 (the 4M FFT is disproportionately slow)."""
     d_pcm = int(round(fs / 25))
     n_power = int(fs / 10)
     right = n_power  # covers window straddle and crossing-probe lookahead

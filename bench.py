@@ -3,10 +3,17 @@
 
 Primary metric: realtime factor — seconds of 44.1 kHz AXCTD audio fully
 decoded (WAV-conditioned PCM -> QC'd T/C/S/z profile + header metadata)
-per second of wall clock, for the fused single-dispatch TPU engine on a
-600 s drop.  Extra fields in the same JSON line report the batched
-archive throughput (16 x 60 s int16 drops, one vmapped dispatch) and
-the single-file wall time.
+per second of wall clock, for the segmented TPU engine on a 600 s drop
+over the default (int8) wire.  Extra fields report the opt-in int4 wire
+and the batched archive throughput (16 x 60 s drops through the
+pipelined two-stage decoder).
+
+Each metric runs in its OWN subprocess: repeated heavy decodes inside
+one process slow down 2-3x on the relay (measured — see
+.claude/skills/verify/SKILL.md "process-lifetime drift"), so in-process
+sequential metrics would understate whatever ran last.  The persistent
+compile cache in .jax_cache makes the children's compiles no-ops after
+their first-ever run.
 
 Before timing, an on-TPU smoke check compares the fused Pallas tone
 kernel against the MXU GEMM path on 1 s of audio — Mosaic-lowering
@@ -21,10 +28,13 @@ Prints exactly one JSON line.
 
 import json
 import os
+import subprocess
+import sys
+import tempfile
 import time
 
 # persistent compilation cache: the axon remote-compile path takes
-# ~15 min for the 600 s-waveform programs; cache them across runs
+# minutes per program; cache them across runs and subprocesses
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
@@ -35,6 +45,20 @@ DURATION = 600.0
 REPEATS = 3
 BATCH_DROPS = 16
 BATCH_SECONDS = 60.0
+WAV = os.path.join(tempfile.gettempdir(), "bench_drop600.wav")
+
+
+def _write_drop():
+    from axctdprocessor_tpu.models import simulator
+
+    spec = simulator.SimSpec(duration=DURATION, profile_start=33.0, seed=11)
+    pcm, truth = simulator.synthesize(spec)
+    simulator.write_wav(WAV, pcm, spec.fs)
+    return truth
+
+
+def _truth_serial():
+    return "00123456"  # simulator default serial (checked in children)
 
 
 def pallas_smoke(fs=44100.0):
@@ -76,9 +100,27 @@ def pallas_smoke(fs=44100.0):
     return True
 
 
-def batch_throughput(cfg_fs=44100):
-    """Aggregate audio-sec/sec for 16 int16 drops decoded as 4 pipelined
-    sub-batches (sub-batch k+1's upload streams while k decodes)."""
+def child_single(wire: str) -> None:
+    """Timed single-file decode in a fresh process; prints WALL seconds."""
+    from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
+
+    res = decode_wav_tpu(WAV, wire=wire)  # warmup: compile + first D2H
+    assert res.status == 2 and len(res.time) > 1000, (
+        f"warmup decode failed: status={res.status} rows={len(res.time)}")
+    assert res.metadata["serial_no"] == _truth_serial()
+    n_frames = len(res.hexframes)
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        res = decode_wav_tpu(WAV, wire=wire)
+        times.append(time.perf_counter() - t0)
+    assert abs(len(res.hexframes) - n_frames) <= 0.01 * n_frames
+    print(f"WALL {min(times):.6f} FRAMES {n_frames}")
+
+
+def child_batch() -> None:
+    """Timed 16 x 60 s pipelined batch decode; prints WALL seconds."""
     from axctdprocessor_tpu.models import simulator
     from axctdprocessor_tpu.parallel.pipeline import decode_batches_pipelined
 
@@ -99,7 +141,7 @@ def batch_throughput(cfg_fs=44100):
     batches = [(batch[i:i + sub], lengths)
                for i in range(0, BATCH_DROPS, sub)]
 
-    piped = decode_batches_pipelined(batches, cfg_fs)  # warmup + compile
+    piped = decode_batches_pipelined(batches, 44100)  # warmup + compile
     flat = [r for b in piped for r in b]
     ok = sum(r.status == 2 and r.metadata["serial_no"] == truth["serial_no"]
              for r in flat)
@@ -108,59 +150,50 @@ def batch_throughput(cfg_fs=44100):
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        decode_batches_pipelined(batches, cfg_fs)
+        decode_batches_pipelined(batches, 44100)
         times.append(time.perf_counter() - t0)
-    wall = min(times)
-    return BATCH_DROPS * BATCH_SECONDS / wall, wall
+    print(f"WALL {min(times):.6f} FRAMES {sum(len(r.hexframes) for r in flat)}")
+
+
+def _run_child(mode: str, timeout: float = 2400.0):
+    """Run one metric in a fresh interpreter; returns wall seconds."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", mode],
+        capture_output=True, text=True, timeout=timeout,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in (proc.stdout or "").splitlines():
+        if line.startswith("WALL "):
+            return float(line.split()[1])
+    raise RuntimeError(
+        f"child {mode} rc={proc.returncode}: {proc.stderr[-2000:]}")
 
 
 def main():
-    import tempfile
-
-    from axctdprocessor_tpu.models import simulator
-    from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        mode = sys.argv[2]
+        if mode == "single_int8":
+            child_single("auto")
+        elif mode == "single_int4":
+            child_single("int4")
+        elif mode == "batch":
+            child_batch()
+        else:
+            raise SystemExit(f"unknown child mode {mode}")
+        return
 
     smoke = pallas_smoke()
+    _write_drop()
 
-    spec = simulator.SimSpec(duration=DURATION, profile_start=33.0, seed=11)
-    pcm, truth = simulator.synthesize(spec)
-    wav = os.path.join(tempfile.gettempdir(), "bench_drop600.wav")
-    simulator.write_wav(wav, pcm, spec.fs)
-
-    # warmup: compile the fused program and the (slow first) D2H path
-    res = decode_wav_tpu(wav)
-    assert res.status == 2 and len(res.time) > 1000, (
-        f"warmup decode failed: status={res.status} rows={len(res.time)}")
-    assert res.metadata["serial_no"] == truth["serial_no"]
-
-    # timed: full WAV-file -> QC'd profile decode, end to end
-    times = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        res = decode_wav_tpu(wav)
-        times.append(time.perf_counter() - t0)
-    wall = min(times)
+    wall = _run_child("single_int8")
     rtf = DURATION / wall
 
-    # secondary: the opt-in lossy int4 wire (quarter the upload bytes);
-    # reported only if it decodes this drop to the same metadata and
-    # ~the same frame count as the default path
-    int4_rtf = None
     try:
-        r4 = decode_wav_tpu(wav, wire="int4")  # warm/compile
-        assert r4.status == 2 and r4.metadata["serial_no"] == truth["serial_no"]
-        assert abs(len(r4.hexframes) - len(res.hexframes)) \
-            <= 0.01 * len(res.hexframes)
-        t4 = []
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            decode_wav_tpu(wav, wire="int4")
-            t4.append(time.perf_counter() - t0)
-        int4_rtf = round(DURATION / min(t4), 1)
+        int4_rtf = round(DURATION / _run_child("single_int4"), 1)
     except Exception:
-        pass
+        int4_rtf = None  # opt-in wire failed its correctness gate
 
-    batch_rtf, batch_wall = batch_throughput()
+    batch_wall = _run_child("batch")
+    batch_rtf = BATCH_DROPS * BATCH_SECONDS / batch_wall
 
     print(json.dumps({
         "metric": "decode_realtime_factor",

@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""On-chip differencing of the assemble program's pieces at 600 s scale.
+
+Cumulative sub-programs (single-scalar outputs) isolate: power
+smoothing, crossing merge/compaction, the bit-edge chain, and the full
+device back half (trigger + calibration + headers + profile stage).
+"""
+
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from axctdprocessor_tpu.models import segmented, tpu_engine as eng
+from axctdprocessor_tpu.ops import chain as chain_ops
+from axctdprocessor_tpu.ops import iir
+from axctdprocessor_tpu.utils.config import DecoderConfig
+
+FS = 44100.0
+REPS = 5
+BIG = segmented.BIG
+
+
+def timeit(fn, *args):
+    out = fn(*args)
+    _ = float(jax.device_get(out))
+    best = 1e9
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _ = float(jax.device_get(out))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    print("backend:", jax.default_backend())
+    cfg = DecoderConfig()
+    d_pcm, n_power, seg_len, right, c_seg = segmented._seg_geometry(FS)
+    strides = seg_len // d_pcm
+    npcm = int(np.round(FS / cfg.bitrate * 0.75)) - 2 * cfg.bit_inset
+    n_seg = max(int(np.ceil(600.0 * FS / seg_len)), 1)
+    n_seg_pad = segmented._bucket_count(n_seg)
+    dims = eng.EngineDims.for_waveform(n_seg_pad * seg_len, FS, cfg.bitrate,
+                                       npcm)
+    total = n_seg_pad * c_seg
+    print(f"n_seg={n_seg} pad={n_seg_pad} total_cross={total} "
+          f"max_edges={dims.max_edges}")
+
+    rng = np.random.default_rng(0)
+    powers = rng.random((n_seg_pad, strides, 3)).astype(np.float32) + 0.1
+    # realistic crossing fill: ~1400/s of the 3000/s capacity
+    gpos = np.full((n_seg_pad, c_seg), BIG, np.int32)
+    n_fill = int(seg_len / FS * 1400)
+    for k in range(n_seg):
+        pos = np.sort(rng.choice(seg_len, n_fill, replace=False))
+        gpos[k, :n_fill] = pos + k * seg_len
+    p1 = rng.random((n_seg_pad, c_seg)).astype(np.float32)
+    p2 = rng.random((n_seg_pad, c_seg)).astype(np.float32)
+
+    params = eng.fused_inputs(cfg, FS)
+    nv = jnp.asarray(int(600 * FS), jnp.int32)
+    pw, gp, p1d, p2d = (jnp.asarray(a) for a in (powers, gpos, p1, p2))
+
+    def smooth(pwr):
+        p = pwr.reshape(-1, pwr.shape[-1])
+        sm = [iir.boxsmooth_lag(p[:, i], 5) for i in range(3)]
+        return jnp.log10(sm[0] / sm[2]), jnp.log10(sm[1] / sm[2])
+
+    def merge(g):
+        gg = g.reshape(-1)
+        slots, n_cross = chain_ops.compact_indices(gg < BIG, total, total)
+        safe = jnp.clip(slots, 0, total - 1)
+        g_s = jnp.where(slots < total, gg[safe], BIG)
+        return g_s, safe, n_cross
+
+    # every stage's FULL output folds into the scalar via sums, so XLA
+    # cannot dead-code-eliminate the work behind a [0] index
+    def force(*arrs):
+        return sum(jnp.sum(a.astype(jnp.float32)) for a in arrs)
+
+    a = jax.jit(lambda pwr: force(*smooth(pwr)))
+    b = jax.jit(lambda pwr, g: force(*smooth(pwr), merge(g)[0]))
+
+    def upto_probes(pwr, g, q1, q2):
+        r400, r7500 = smooth(pwr)
+        g_s, safe, n_cross = merge(g)
+        q1s = q1.reshape(-1)[safe]
+        q2s = q2.reshape(-1)[safe]
+        return force(r400, r7500, g_s, q1s, q2s), \
+            (r400, r7500, g_s, q1s, q2s, n_cross)
+
+    c = jax.jit(lambda pwr, g, q1, q2: upto_probes(pwr, g, q1, q2)[0])
+
+    def upto_chain(pwr, g, q1, q2):
+        s, (r400, r7500, g_s, q1s, q2s, n_cross) = upto_probes(pwr, g, q1, q2)
+        edge_idx, n_edges = chain_ops.enumerate_bit_edges(
+            g_s, n_cross, FS, float(cfg.bitrate), dims.max_edges)
+        return s + force(edge_idx), \
+            (r400, r7500, g_s, q1s, q2s, edge_idx, n_edges)
+
+    d = jax.jit(lambda pwr, g, q1, q2: upto_chain(pwr, g, q1, q2)[0])
+
+    def full(pwr, g, q1, q2):
+        s, (r400, r7500, g_s, q1s, q2s, edge_idx, n_edges) = \
+            upto_chain(pwr, g, q1, q2)
+        safe = jnp.clip(edge_idx, 0, g_s.shape[0] - 1)
+        out = eng.back_half_core(
+            r400, r7500, g_s[safe], n_edges, q1s[safe], q2s[safe], nv,
+            params["trig_i"], params["trig_f"], params["hdr_rel"],
+            params["calib_off"], params["coeff_defaults"],
+            params["temp_lut"], params["limits"], dims, FS)
+        return s + force(out["rows"], out["hexpack"], out["hdr"])
+
+    e = jax.jit(full)
+
+    base = timeit(jax.jit(lambda pwr: pwr[0, 0, 0]), pw)
+    ta = timeit(a, pw)
+    tb = timeit(b, pw, gp)
+    tc = timeit(c, pw, gp, p1d, p2d)
+    td = timeit(d, pw, gp, p1d, p2d)
+    te = timeit(e, pw, gp, p1d, p2d)
+    print(f"dispatch overhead:      {base*1e3:6.1f} ms")
+    print(f"power smoothing:        {(ta-base)*1e3:6.1f} ms")
+    print(f"+ crossing merge:       {(tb-ta)*1e3:6.1f} ms")
+    print(f"+ probe re-gathers:     {(tc-tb)*1e3:6.1f} ms")
+    print(f"+ bit-edge chain:       {(td-tc)*1e3:6.1f} ms")
+    print(f"+ back half:            {(te-td)*1e3:6.1f} ms")
+    print(f"total (~assemble):      {(te-base)*1e3:6.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
