@@ -154,14 +154,18 @@ def _assemble_program(n_seg: int, dims, fs: float, bitrate: float):
         slots, n_cross = chain_ops.compact_indices(g < BIG, total, total)
         safe_slot = jnp.clip(slots, 0, total - 1)
         g_s = jnp.where(slots < total, g[safe_slot], BIG)
-        p1_s = p1.reshape(-1)[safe_slot]
-        p2_s = p2.reshape(-1)[safe_slot]
 
         edge_idx, n_edges = chain_ops.enumerate_bit_edges(
             g_s, n_cross, fs, bitrate, dims.max_edges)
         safe = jnp.clip(edge_idx, 0, g_s.shape[0] - 1)
+        # probes gather straight to the edges through the composed map
+        # (edge -> compacted slot -> flat position): only max_edges
+        # elements, instead of compacting the full 2M probe tables and
+        # re-gathering (measured ~26 ms of the assemble program)
+        at_edges = safe_slot[safe]
         return eng.back_half_core(
-            r400, r7500, g_s[safe], n_edges, p1_s[safe], p2_s[safe],
+            r400, r7500, g_s[safe], n_edges,
+            p1.reshape(-1)[at_edges], p2.reshape(-1)[at_edges],
             n_valid, trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
             temp_lut, limits, dims, fs)
 

@@ -153,4 +153,59 @@ int axctd_wav_read_conditioned(const char* path, float* out,
     return 0;
 }
 
+// Wire-format quantizers (ops.wire): the int8/int4 host->device upload
+// encodings.  numpy needs 3-4 full float passes (~210/460 ms for a
+// 600 s drop on this container's single core — 16-35% of the decode
+// wall); these do one peak pass + one fused scale/round/store pass.
+//
+// Rounding must bit-match np.rint (round half to even).  lrintf is NOT
+// used: gcc -O3's auto-vectorized form truncates (observed: the scalar
+// epilogue rounded -103.5007 -> -104 while the vector body gave -103).
+// The magic-constant form below ((v + 1.5*2^23) - 1.5*2^23) is exact
+// nearest-even for |v| <= ~2^22, vectorizes as plain float adds, and is
+// immune to that bug.
+
+static inline float round_ne(float v) {
+    const float C = 12582912.0f;  // 1.5 * 2^23
+    return (v + C) - C;
+}
+
+// out[n] = rint(x * 127/max|x|), int8.
+void axctd_quantize_int8(const int16_t* x, int64_t n, int8_t* out) {
+    int32_t peak = 1;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t a = x[i] < 0 ? -(int32_t)x[i] : (int32_t)x[i];
+        if (a > peak) peak = a;
+    }
+    const float scale = (float)(127.0 / (double)peak);
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = (int8_t)(int32_t)round_ne((float)x[i] * scale);
+    }
+}
+
+// Packed nibbles: sample k in byte k/2 (even sample = high nibble) as
+// clip(rint(x * 7/max|x|), -7, 7) + 8; odd tail padded with the zero
+// level (8).  out has (n+1)/2 bytes.
+void axctd_quantize_int4(const int16_t* x, int64_t n, uint8_t* out) {
+    int32_t peak = 1;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t a = x[i] < 0 ? -(int32_t)x[i] : (int32_t)x[i];
+        if (a > peak) peak = a;
+    }
+    const float scale = (float)(7.0 / (double)peak);
+    const int64_t pairs = n / 2;
+    for (int64_t i = 0; i < pairs; ++i) {
+        long hi = (long)round_ne((float)x[2 * i] * scale);
+        long lo = (long)round_ne((float)x[2 * i + 1] * scale);
+        hi = hi < -7 ? -7 : (hi > 7 ? 7 : hi);
+        lo = lo < -7 ? -7 : (lo > 7 ? 7 : lo);
+        out[i] = (uint8_t)(((hi + 8) << 4) | (lo + 8));
+    }
+    if (n & 1) {
+        long hi = (long)round_ne((float)x[n - 1] * scale);
+        hi = hi < -7 ? -7 : (hi > 7 ? 7 : hi);
+        out[pairs] = (uint8_t)(((hi + 8) << 4) | 8);
+    }
+}
+
 }  // extern "C"

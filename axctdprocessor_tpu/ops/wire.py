@@ -53,6 +53,18 @@ def resolve_wire(wire: str, dtype) -> str:
     return default_wire() if wire == "auto" else wire
 
 
+def _widened(x: np.ndarray) -> np.ndarray:
+    """int16/int32 widened one step so np.abs cannot wrap at the minimum
+    (np.abs(int16(-32768)) == -32768; the C quantizers compute |x| in
+    int32 and would otherwise disagree with this fallback by one peak
+    step, flipping values that land near rounding boundaries)."""
+    if x.dtype == np.int16:
+        return x.astype(np.int32)
+    if x.dtype == np.int32:
+        return x.astype(np.int64)
+    return x
+
+
 def quantize_int8(pcm: np.ndarray) -> np.ndarray:
     """Quantize integer PCM to int8 at the waveform's own peak.
 
@@ -60,11 +72,21 @@ def quantize_int8(pcm: np.ndarray) -> np.ndarray:
     construction.  The sub-LSB DC offset this drops is re-estimated and
     removed by the device conditioning (mean over q), so no separate
     scale/offset needs to cross the wire.
+
+    int16 input takes the C path (utils.native; the numpy version's 3-4
+    float passes cost ~210 ms for a 600 s drop on one host core —
+    a material slice of the decode wall).
     """
     pcm = np.asarray(pcm)
     if pcm.dtype == np.int8:
         return pcm
-    peak = float(np.max(np.abs(pcm))) if pcm.size else 0.0
+    if pcm.dtype == np.int16 and pcm.size:
+        from ..utils import native
+
+        q = native.quantize_int8_native(pcm)
+        if q is not None:
+            return q
+    peak = float(np.max(np.abs(_widened(pcm)))) if pcm.size else 0.0
     scale = np.float32(127.0 / max(peak, 1.0))
     q = np.multiply(pcm, scale, dtype=np.float32)
     np.rint(q, out=q)
@@ -80,7 +102,8 @@ def quantize_int8_rows(pcms: np.ndarray) -> np.ndarray:
     pcms = np.asarray(pcms)
     if pcms.dtype == np.int8:
         return pcms
-    peaks = np.max(np.abs(pcms), axis=1, keepdims=True).astype(np.float32)
+    peaks = np.max(np.abs(_widened(pcms)), axis=1,
+                   keepdims=True).astype(np.float32)
     scales = np.float32(127.0) / np.maximum(peaks, 1.0)
     q = np.multiply(pcms, scales, dtype=np.float32)
     np.rint(q, out=q)
@@ -93,9 +116,17 @@ def quantize_int4_packed(pcm: np.ndarray) -> np.ndarray:
     Sample k lives in byte k//2 — even samples in the high nibble — as
     ``clip(rint(pcm * 7/peak), -7, 7) + 8``; an odd final sample is
     padded with the zero level.  Device-side inverse:
-    tpu_engine.unpack_int4."""
+    tpu_engine.unpack_int4.  int16 input takes the C path (the numpy
+    version costs ~460 ms for a 600 s drop — more than the upload bytes
+    it saves on one host core)."""
     pcm = np.asarray(pcm)
-    peak = float(np.max(np.abs(pcm))) if pcm.size else 0.0
+    if pcm.dtype == np.int16 and pcm.size:
+        from ..utils import native
+
+        q = native.quantize_int4_native(pcm)
+        if q is not None:
+            return q
+    peak = float(np.max(np.abs(_widened(pcm)))) if pcm.size else 0.0
     q = np.multiply(pcm, np.float32(7.0 / max(peak, 1.0)), dtype=np.float32)
     np.rint(q, out=q)
     q = (np.clip(q, -7, 7) + 8).astype(np.uint8)
@@ -107,7 +138,8 @@ def quantize_int4_packed(pcm: np.ndarray) -> np.ndarray:
 def quantize_int4_packed_rows(pcms: np.ndarray) -> np.ndarray:
     """Row-wise packed int4 for a (B, N) integer batch (per-row peak)."""
     pcms = np.asarray(pcms)
-    peaks = np.max(np.abs(pcms), axis=1, keepdims=True).astype(np.float32)
+    peaks = np.max(np.abs(_widened(pcms)), axis=1,
+                   keepdims=True).astype(np.float32)
     q = np.multiply(pcms, np.float32(7.0) / np.maximum(peaks, 1.0),
                     dtype=np.float32)
     np.rint(q, out=q)

@@ -68,6 +68,18 @@ def get_library():
             ctypes.c_int64,
         ]
         lib.axctd_wav_read_conditioned.restype = ctypes.c_int
+        lib.axctd_quantize_int8.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS"),
+        ]
+        lib.axctd_quantize_int8.restype = None
+        lib.axctd_quantize_int4.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+        ]
+        lib.axctd_quantize_int4.restype = None
         _lib = lib
         return _lib
 
@@ -86,6 +98,31 @@ def wav_info(path: str):
     if rc != 0:
         return None
     return int(fs.value), int(n.value), int(nch.value), int(bits.value)
+
+
+def quantize_int8_native(x: np.ndarray):
+    """int16 -> int8 wire quantization in C (ops.wire contract), or None.
+
+    One peak pass + one fused scale/round/store pass; lrintf under
+    FE_TONEAREST bit-matches np.rint."""
+    lib = get_library()
+    if lib is None or x.dtype != np.int16:
+        return None
+    x = np.ascontiguousarray(x)
+    out = np.empty(len(x), np.int8)
+    lib.axctd_quantize_int8(x, len(x), out)
+    return out
+
+
+def quantize_int4_native(x: np.ndarray):
+    """int16 -> packed int4 wire quantization in C, or None."""
+    lib = get_library()
+    if lib is None or x.dtype != np.int16:
+        return None
+    x = np.ascontiguousarray(x)
+    out = np.empty((len(x) + 1) // 2, np.uint8)
+    lib.axctd_quantize_int4(x, len(x), out)
+    return out
 
 
 def read_wav_conditioned_f32(path: str):

@@ -37,11 +37,33 @@ def test_quantize_int8_properties(rng):
     assert np.max(np.abs(q)) == 127  # peak maps to full scale
     assert np.all(q[:100] == 0)
     # quantization error bounded by half an lsb of the int8 grid
-    scale = np.max(np.abs(x)) / 127.0
+    # (peak via int32: np.abs wraps at int16 -32768)
+    scale = np.max(np.abs(x.astype(np.int32))) / 127.0
     err = x.astype(np.float64) - q.astype(np.float64) * scale
     assert np.max(np.abs(err)) <= 0.5 * scale + 1e-9
     # int8 input passes through untouched
     assert wire.quantize_int8(q) is q
+
+
+def test_native_quantizers_match_numpy(rng):
+    """C quantizers (the int16 fast path) bit-match the numpy formula,
+    including the int16 minimum where np.abs wraps."""
+    from axctdprocessor_tpu.utils import native
+
+    if native.get_library() is None:
+        pytest.skip("no native toolchain")
+    x = (rng.standard_normal(30011) * 15000).astype(np.int16)
+    x[0], x[1] = -32768, 32767  # peak must resolve to 32768, not wrap
+    peak = float(np.max(np.abs(x.astype(np.int32))))
+    ref8 = np.rint(np.multiply(x, np.float32(127.0 / peak),
+                               dtype=np.float32)).astype(np.int8)
+    np.testing.assert_array_equal(native.quantize_int8_native(x), ref8)
+    q4 = (np.clip(np.rint(np.multiply(x, np.float32(7.0 / peak),
+                                      dtype=np.float32)), -7, 7) + 8
+          ).astype(np.uint8)
+    q4 = np.concatenate([q4, np.asarray([8], np.uint8)])  # odd length
+    ref4 = (q4[0::2] << 4) | q4[1::2]
+    np.testing.assert_array_equal(native.quantize_int4_native(x), ref4)
 
 
 def test_encode_rows_per_row_scale():
