@@ -5,7 +5,7 @@ whose compile time and HBM footprint scale with file length (a >30 min
 recording is one giant FFT graph, and every new bucket costs a
 multi-minute remote compile).  This module bounds both:
 
-* **stage 1 runs per ~60 s segment** with a fixed shape shared by every
+* **stage 1 runs per ~24 s segment** with a fixed shape shared by every
   file length — one compilation, ever.  Each segment gets a raw left
   halo (IIR ring-in for the overlap-save FFT filter) and right halo
   (power-window straddle + crossing probes), the same halo math as the
@@ -16,13 +16,14 @@ multi-minute remote compile).  This module bounds both:
   bytes (the transfer link, not compute, bounds single-file latency).
 * the variable-size remainder (power smoothing, trigger, bit-edge
   chain, headers, profile) reuses the fused back half; its compile cost
-  is bounded by padding the segment count to {2^p, 3*2^p} buckets, so
-  all file lengths share O(log) assemble programs with <= 33% padding.
+  is bounded by padding the segment count to m*2^e buckets (mantissa
+  m in 4..7, _bucket_count), so all file lengths share O(log) assemble
+  programs with <= 25% padding.
 
 Segment length is a whole number of power-window strides (keeping the
 global 25 Hz window grid aligned across segment boundaries), chosen as
-the largest that fits a 2^21-point FFT with halos (~47 s at 44.1 kHz) —
-see _seg_geometry.  >50 kHz WAVs decimate by 2 on device inside
+the largest that fits a SEG_NFFT = 2^20-point FFT with halos (~23.6 s
+at 44.1 kHz) — see _seg_geometry.  >50 kHz WAVs decimate by 2 on device inside
 each segment program (the halos absorb the zero-phase anti-alias
 filter's ring), so long high-rate files keep both the streamed raw
 upload and the bounded compile.
@@ -253,7 +254,13 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
                      else np.zeros((1, 6)), jnp.float32)
     dc_d = jnp.asarray(np.float32(dc))
     peak_d = jnp.asarray(np.float32(peak))
-    nv = jnp.asarray(n_raw, jnp.int32)
+    # raw-rate count for the segment programs (conditioning mask), the
+    # decode-rate count for the assemble/back half (its trigger derives
+    # the real power-window grid from decode-rate n_power/d_pcm — a raw
+    # count would extend it ~2x over bucket padding and could fire the
+    # hard-timeout trigger on recordings too short for it)
+    nv_raw = jnp.asarray(n_raw, jnp.int32)
+    nv_dec = jnp.asarray(n, jnp.int32)
 
     ext_len = LEFT_HALO + seg_len + right
     in_len = ext_len * raw_mult
@@ -273,13 +280,13 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
                 pcm[src_lo // pk : (src_hi + pk - 1) // pk]
         # async: upload segment k+1 while k computes
         outs.append(seg_fn(jnp.asarray(ext), dc_d, peak_d,
-                           jnp.asarray(k * seg_len, jnp.int32), nv,
+                           jnp.asarray(k * seg_len, jnp.int32), nv_raw,
                            pt, so, bt, ds))
     if n_seg_pad > n_seg:
         # one shared zero-segment output for every padded slot (zero
         # input + out-of-range positions -> no crossings, zero powers)
         zero = seg_fn(jnp.asarray(np.full(buf_len, fill, pcm.dtype)), dc_d,
-                      peak_d, jnp.asarray(n_seg * seg_len, jnp.int32), nv,
+                      peak_d, jnp.asarray(n_seg * seg_len, jnp.int32), nv_raw,
                       pt, so, bt, ds)
         outs.extend([zero] * (n_seg_pad - n_seg))
 
@@ -289,7 +296,8 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
                    jnp.stack([o[1] for o in outs]),
                    jnp.stack([o[2] for o in outs]),
                    jnp.stack([o[3] for o in outs]),
-                   nv, params["trig_i"], params["trig_f"], params["hdr_rel"],
+                   nv_dec, params["trig_i"], params["trig_f"],
+                   params["hdr_rel"],
                    params["calib_off"], params["coeff_defaults"],
                    params["temp_lut"], params["limits"])
     host = jax.device_get(out)  # the decode's one blocking transfer

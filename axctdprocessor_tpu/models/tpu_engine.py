@@ -749,6 +749,9 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     """
     cfg = config or DecoderConfig()
     pcm = np.asarray(pcm)
+    if pcm.dtype == np.uint8:
+        raise ValueError("pass unpacked integer PCM with wire='int4'; "
+                         "pre-packed nibble streams lose the sample count")
     if mode != "monolithic":
         n0 = len(pcm)
         if mode == "segmented" or n0 > AUTO_SEGMENT_SECONDS * float(fs):
@@ -777,8 +780,11 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
         unit = int(BUCKET_SECONDS * fs) * rate_mult
         n_padded = max(int(np.ceil(n_raw / unit)) * unit, unit)
     else:
-        # the packed layout needs an even sample count
-        n_padded = n_raw + (n_raw % 2) if packed4 else n_raw
+        n_padded = n_raw
+    if packed4:
+        # the packed layout needs an even sample count (a 15 s bucket
+        # can be odd at e.g. fs = 11025)
+        n_padded += n_padded % 2
     if packed4:
         # pad with 0x88 (two zero-level nibbles), NOT zero bytes, so the
         # device-side DC mean over the padded tail stays exact

@@ -180,10 +180,14 @@ def enumerate_frames(accept: jnp.ndarray, n_bits, max_steps: int,
     accept = accept & (idx < n_bits - 32)
     apos, n_acc = compact_indices(accept, cap, big)  # ascending, big-filled
 
-    # successor in accept-index space: first accept at >= apos[j] + 32
+    # successor in accept-index space: first accept at >= apos[j] + 32.
+    # n_acc can exceed cap when accepts overflow the capacity (CRC-
+    # colliding garbage): bound the guard by cap too or searchsorted's
+    # out-of-range `cap` would survive and clamp to a wrong accept
+    n_keep = jnp.minimum(n_acc, cap)
     succ = jnp.searchsorted(apos, apos + 32).astype(jnp.int32)
     j = jnp.arange(cap, dtype=jnp.int32)
-    succ = jnp.where((j < n_acc) & (succ < n_acc), succ, j)
+    succ = jnp.where((j < n_keep) & (succ < n_keep), succ, j)
 
     chain = chain_enumerate(succ, jnp.asarray(0, jnp.int32), max_frames)
     advancing = jnp.concatenate([(n_acc > 0)[None], chain[1:] > chain[:-1]])

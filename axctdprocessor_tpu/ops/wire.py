@@ -54,11 +54,11 @@ def resolve_wire(wire: str, dtype) -> str:
 
 
 def _widened(x: np.ndarray) -> np.ndarray:
-    """int16/int32 widened one step so np.abs cannot wrap at the minimum
+    """Signed ints widened one step so np.abs cannot wrap at the minimum
     (np.abs(int16(-32768)) == -32768; the C quantizers compute |x| in
     int32 and would otherwise disagree with this fallback by one peak
     step, flipping values that land near rounding boundaries)."""
-    if x.dtype == np.int16:
+    if x.dtype in (np.int8, np.int16):
         return x.astype(np.int32)
     if x.dtype == np.int32:
         return x.astype(np.int64)
@@ -102,6 +102,14 @@ def quantize_int8_rows(pcms: np.ndarray) -> np.ndarray:
     pcms = np.asarray(pcms)
     if pcms.dtype == np.int8:
         return pcms
+    if pcms.dtype == np.int16 and pcms.size:
+        from ..utils import native
+
+        if native.get_library() is not None:
+            out = np.empty(pcms.shape, np.int8)
+            for i in range(pcms.shape[0]):  # per row: each drop's own peak
+                out[i] = native.quantize_int8_native(pcms[i])
+            return out
     peaks = np.max(np.abs(_widened(pcms)), axis=1,
                    keepdims=True).astype(np.float32)
     scales = np.float32(127.0) / np.maximum(peaks, 1.0)
@@ -138,6 +146,15 @@ def quantize_int4_packed(pcm: np.ndarray) -> np.ndarray:
 def quantize_int4_packed_rows(pcms: np.ndarray) -> np.ndarray:
     """Row-wise packed int4 for a (B, N) integer batch (per-row peak)."""
     pcms = np.asarray(pcms)
+    if pcms.dtype == np.int16 and pcms.size:
+        from ..utils import native
+
+        if native.get_library() is not None:
+            out = np.empty((pcms.shape[0], (pcms.shape[1] + 1) // 2),
+                           np.uint8)
+            for i in range(pcms.shape[0]):
+                out[i] = native.quantize_int4_native(pcms[i])
+            return out
     peaks = np.max(np.abs(_widened(pcms)), axis=1,
                    keepdims=True).astype(np.float32)
     q = np.multiply(pcms, np.float32(7.0) / np.maximum(peaks, 1.0),

@@ -147,6 +147,9 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     fs_report = float(fs) if isinstance(fs, float) else int(fs)
     fs = float(fs)
     pcms = np.asarray(pcms)
+    if pcms.dtype == np.uint8:
+        raise ValueError("pass unpacked integer rows with wire='int4'; "
+                         "pre-packed nibble streams lose the sample count")
     b_orig, n = pcms.shape
     if lengths is None:
         lengths = np.full(b_orig, n, np.int32)

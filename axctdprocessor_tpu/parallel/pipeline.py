@@ -60,10 +60,13 @@ def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
     batches = list(batches)
     if not batches:
         return []
-    n = int(np.asarray(batches[0][0]).shape[1])
     from ..ops import wire as wire_ops
 
     first = np.asarray(batches[0][0])
+    if first.dtype == np.uint8:
+        raise ValueError("pass unpacked integer rows with wire='int4'; "
+                         "pre-packed nibble streams lose the sample count")
+    n = int(first.shape[1])
     if np.issubdtype(first.dtype, np.integer) \
             and wire_ops.resolve_wire(wire, first.dtype) == "int4":
         n += n % 2  # packed int4 rows carry an even sample count

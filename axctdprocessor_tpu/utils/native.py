@@ -103,8 +103,9 @@ def wav_info(path: str):
 def quantize_int8_native(x: np.ndarray):
     """int16 -> int8 wire quantization in C (ops.wire contract), or None.
 
-    One peak pass + one fused scale/round/store pass; lrintf under
-    FE_TONEAREST bit-matches np.rint."""
+    One peak pass + one fused scale/round/store pass; rounding is the
+    magic-constant nearest-even form (wavio.cpp round_ne — NOT lrintf,
+    whose gcc -O3 vectorization truncates), bit-matching np.rint."""
     lib = get_library()
     if lib is None or x.dtype != np.int16:
         return None

@@ -106,6 +106,23 @@ def test_bucket_count():
         assert b >= k and b <= max(int(np.ceil(k * 1.25)), k + 1)
 
 
+def test_segmented_highrate_no_bogus_timeout():
+    """Decim2 regression: the assemble/back half must see the DECODE-rate
+    valid length.  A raw-rate count doubles the apparent grid, which let
+    the fixed-compat hard timeout fire on recordings shorter than the
+    timeout (status 2 with a garbage profile instead of status 1)."""
+    spec = simulator.SimSpec(fs=88200, duration=40.0, profile_start=1e9,
+                             seed=13)  # pulse, never a 7500 tone
+    pcm, _ = simulator.synthesize(spec)
+    raw = np.round(pcm * 28000 / np.max(np.abs(pcm))).astype(np.int16)
+    settings = {"triggerrange": [30, 60]}  # timeout at 60 s > 40 s file
+    from axctdprocessor_tpu.utils.config import resolve_settings
+
+    cfg = resolve_settings(settings, compat="fixed")
+    res = segmented.decode_waveform_segmented(raw, 88200, config=cfg)
+    assert res.status == 1  # pulse found, no trigger — and no timeout
+
+
 def test_segmented_no_pulse():
     rng = np.random.default_rng(5)
     noise = (rng.standard_normal(int(70 * 44100)) * 0.3).astype(np.float32)

@@ -190,6 +190,14 @@ def test_int4_wire_batch_and_pipeline(noisy_int16):
         assert a.metadata == b.metadata
 
 
+def test_int4_wire_odd_bucket(rng):
+    """fs = 11025 makes the 15 s pad bucket odd (165375 samples): the
+    packed layout must force an even padded count, not floor it."""
+    noise = (rng.standard_normal(10 * 11025) * 5000).astype(np.int16)
+    res = decode_waveform_tpu(noise, 11025, wire="int4")
+    assert res.status == 0  # pure noise: no pulse; shapes must not crash
+
+
 def test_int4_wire_odd_length(noisy_int16):
     """An odd sample count exercises the trailing pad nibble."""
     raw, truth = noisy_int16
