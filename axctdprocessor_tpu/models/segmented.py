@@ -74,9 +74,13 @@ def _seg_geometry(fs: float):
 def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
                      integer_input: bool, decim2: bool = False,
                      wire4: bool = False):
-    """One fixed-shape stage-1 segment: conditioning, overlap-save FFT
-    filter, tone powers on the global grid, crossings + per-crossing
-    probes.  Compiled once per (fs, config geometry) for every file.
+    """One fixed-shape stage-1 segment program: conditioning,
+    overlap-save FFT filter, tone powers on the global grid, crossings +
+    per-crossing probes.  Compiled once per (fs, config geometry) for
+    every file.  (A vmapped multi-segment-per-dispatch variant was
+    A/B'd on chip at groups 2/4/8 and changed nothing — async-queued
+    dispatch overhead is negligible — so one dispatch per segment
+    stays.)
 
     With ``decim2`` (>50 kHz WAVs) the segment arrives at 2x the decode
     rate and is conditioned + zero-phase anti-alias decimated on device
@@ -269,8 +273,8 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
     pk = 2 if wire4 else 1
     buf_len = in_len // pk
     fill = np.uint8(0x88) if wire4 else pcm.dtype.type(0)
-    outs = []
-    for k in range(n_seg):
+
+    def build_ext(k):
         lo = (k * seg_len - LEFT_HALO) * raw_mult
         hi = (k * seg_len + seg_len + right) * raw_mult
         ext = np.full(buf_len, fill, dtype=pcm.dtype)
@@ -278,24 +282,31 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
         if src_hi > src_lo:
             ext[(src_lo - lo) // pk : (src_hi - lo + pk - 1) // pk] = \
                 pcm[src_lo // pk : (src_hi + pk - 1) // pk]
-        # async: upload segment k+1 while k computes
-        outs.append(seg_fn(jnp.asarray(ext), dc_d, peak_d,
-                           jnp.asarray(k * seg_len, jnp.int32), nv_raw,
-                           pt, so, bt, ds))
-    if n_seg_pad > n_seg:
-        # one shared zero-segment output for every padded slot (zero
-        # input + out-of-range positions -> no crossings, zero powers)
-        zero = seg_fn(jnp.asarray(np.full(buf_len, fill, pcm.dtype)), dc_d,
-                      peak_d, jnp.asarray(n_seg * seg_len, jnp.int32), nv_raw,
-                      pt, so, bt, ds)
-        outs.extend([zero] * (n_seg_pad - n_seg))
+        return ext
+
+    # slot k >= n_seg is a zero segment: any content with an offset past
+    # n_valid masks to silence (no crossings, zero powers); all padded
+    # slots share one upload
+    zero_ext = None
+    outs = []
+    for k in range(n_seg_pad):
+        if k < n_seg:
+            ext_arg = jnp.asarray(build_ext(k))
+        else:
+            if zero_ext is None:
+                zero_ext = jnp.asarray(np.full(buf_len, fill, pcm.dtype))
+            ext_arg = zero_ext
+        # async: segment k+1's upload streams while k computes
+        outs.append(seg_fn(ext_arg, dc_d, peak_d,
+                           jnp.asarray(min(k, n_seg) * seg_len, jnp.int32),
+                           nv_raw, pt, so, bt, ds))
+
+    def gather(i):
+        return jnp.stack([o[i] for o in outs])
 
     assemble = _assemble_program(n_seg_pad, dims, fs, float(cfg.bitrate))
     params = eng.fused_inputs(cfg, fs)
-    out = assemble(jnp.stack([o[0] for o in outs]),
-                   jnp.stack([o[1] for o in outs]),
-                   jnp.stack([o[2] for o in outs]),
-                   jnp.stack([o[3] for o in outs]),
+    out = assemble(gather(0), gather(1), gather(2), gather(3),
                    nv_dec, params["trig_i"], params["trig_f"],
                    params["hdr_rel"],
                    params["calib_off"], params["coeff_defaults"],

@@ -28,7 +28,7 @@ from ..utils.config import resolve_settings
 from ..utils.profiling import StageTimer
 from ..utils.report import write_report
 from ..utils.wavio import read_wav
-from .batch import decode_batch
+from .batch import dispatch_batch, finish_dispatched
 
 BUCKET_SECONDS = 60  # pad each drop up to a whole minute bucket
 
@@ -65,7 +65,8 @@ def _read_and_condition(path: str):
 def reprocess_corpus(wav_paths: list[str], out_dir: str,
                      settings: dict | None = None, compat: str = "strict",
                      mesh=None, batch_size: int = 8, resume: bool = True,
-                     timer: StageTimer | None = None) -> dict:
+                     timer: StageTimer | None = None,
+                     wire: str = "auto") -> dict:
     """Decode every WAV into `out_dir`/<name>.txt; returns the manifest."""
     os.makedirs(out_dir, exist_ok=True)
     cfg = resolve_settings(settings, compat=compat)
@@ -153,6 +154,29 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
                         items[k] = ((pcm, wav_fs), p)
             return items
 
+    def write_results(loaded, results):
+        with timer.stage("io.write_reports"):
+            for ((pcm, wav_fs), path), res in zip(loaded, results):
+                res.numpoints = len(pcm)  # report true length, not padding
+                name = os.path.basename(path)
+                out_path = os.path.join(out_dir, os.path.splitext(name)[0] + ".txt")
+                echo = {
+                    "minR400": cfg.min_r400, "mindR7500": cfg.min_dr7500,
+                    "deadfreq": cfg.dead_freq, "pointsperloop": 100000,
+                    "triggerrange": list(cfg.trigger_range),
+                }
+                write_report(out_path, res, path, [0, -1], echo, cfg)
+                manifest["files"][name] = {
+                    "status": "done", "rows": len(res.time),
+                    "decode_status": res.status, "output": out_path,
+                    "finished_at": time.time(),
+                }
+        _save_manifest(out_dir, manifest)
+
+    # software pipeline: while batch k computes on device, batch k-1 is
+    # fetched + reported and batch k+1's WAVs are read (the device never
+    # waits on host IO between batches)
+    inflight = None  # (out_tree, ctx, loaded)
     pending = executor.submit(load_batch, batches[0]) if batches else None
     for bi, paths in enumerate(batches):
         loaded = pending.result()
@@ -179,28 +203,22 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
         for i, ((pcm, _), _) in enumerate(loaded):
             pcms[i, : len(pcm)] = pcm[:bucket_n]
 
-        with timer.stage("device.decode_batch"):
+        with timer.stage("device.dispatch_batch"):
             lengths = [min(len(x[0][0]), bucket_n) for x in loaded]
-            results = decode_batch(pcms, fs, config=cfg, mesh=mesh,
-                                   lengths=lengths)
+            out, ctx = dispatch_batch(pcms, fs, config=cfg, mesh=mesh,
+                                      lengths=lengths, wire=wire)
+        if inflight is not None:
+            p_out, p_ctx, p_loaded = inflight
+            with timer.stage("device.fetch_batch"):
+                results = finish_dispatched(p_out, p_ctx)
+            write_results(p_loaded, results)
+        inflight = (out, ctx, loaded)
 
-        with timer.stage("io.write_reports"):
-            for ((pcm, wav_fs), path), res in zip(loaded, results):
-                res.numpoints = len(pcm)  # report true length, not padding
-                name = os.path.basename(path)
-                out_path = os.path.join(out_dir, os.path.splitext(name)[0] + ".txt")
-                echo = {
-                    "minR400": cfg.min_r400, "mindR7500": cfg.min_dr7500,
-                    "deadfreq": cfg.dead_freq, "pointsperloop": 100000,
-                    "triggerrange": list(cfg.trigger_range),
-                }
-                write_report(out_path, res, path, [0, -1], echo, cfg)
-                manifest["files"][name] = {
-                    "status": "done", "rows": len(res.time),
-                    "decode_status": res.status, "output": out_path,
-                    "finished_at": time.time(),
-                }
-        _save_manifest(out_dir, manifest)
+    if inflight is not None:
+        p_out, p_ctx, p_loaded = inflight
+        with timer.stage("device.fetch_batch"):
+            results = finish_dispatched(p_out, p_ctx)
+        write_results(p_loaded, results)
 
     executor.shutdown(wait=False)
     manifest["stage_times"] = timer.as_dict()

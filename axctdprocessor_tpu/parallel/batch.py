@@ -130,19 +130,17 @@ def run_back_half_batched(s1: dict, cfg: DecoderConfig, fs: float, dims,
     return finish_batch(out_host, cfg, fs, fs_report, lengths)
 
 
-def decode_batch(pcms, fs, config: DecoderConfig | None = None,
-                 mesh: Mesh | None = None, dtype=jnp.float32,
-                 lengths=None, wire: str = "auto") -> list[DecodeResult]:
-    """Decode a (B, N) batch of waveforms; returns B results.
+def dispatch_batch(pcms, fs, config: DecoderConfig | None = None,
+                   mesh: Mesh | None = None, dtype=jnp.float32,
+                   lengths=None, wire: str = "auto"):
+    """Asynchronously dispatch a (B, N) batch decode; returns (out, ctx)
+    for :func:`finish_dispatched`.
 
     The whole batch is ONE device dispatch (vmapped fused decode, dp-
-    sharded when a mesh is given) and ONE blocking device->host transfer.
-    Integer batches are conditioned on device; for zero-padded ragged
-    batches pass `lengths` (true samples per row) so DC removal averages
-    over real samples only and the trigger grid stops at real windows.
-    ``wire`` selects the integer upload format (ops.wire; "auto" = int8
-    per-row quantization on real TPU — a 64-drop batch is upload-bound
-    just like a long single file)."""
+    sharded when a mesh is given); nothing blocks until the finish call
+    fetches the packed result tree, so callers can overlap the next
+    batch's host work (reads, reports) with this batch's device compute
+    (the archive runner does exactly this)."""
     cfg = config or DecoderConfig()
     fs_report = float(fs) if isinstance(fs, float) else int(fs)
     fs = float(fs)
@@ -162,7 +160,6 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
             n += n % 2  # packed int4 rows carry an even sample count
     if mesh is not None:
         (pcms, lengths), _ = pad_to_multiple([pcms, lengths], mesh.shape["dp"])
-    b = pcms.shape[0]
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
     ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)
@@ -183,6 +180,28 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
                 params["trig_i"], params["trig_f"], params["hdr_rel"],
                 params["calib_off"], params["coeff_defaults"],
                 params["temp_lut"], params["limits"])
+    return out, (cfg, fs, fs_report, lengths, b_orig)
+
+
+def finish_dispatched(out, ctx) -> list[DecodeResult]:
+    """Fetch + host-finish a dispatch_batch result (the blocking step)."""
+    cfg, fs, fs_report, lengths, b_orig = ctx
     out_host = jax.device_get(out)
-    results = finish_batch(out_host, cfg, fs, fs_report, lengths)
-    return results[:b_orig]
+    return finish_batch(out_host, cfg, fs, fs_report, lengths)[:b_orig]
+
+
+def decode_batch(pcms, fs, config: DecoderConfig | None = None,
+                 mesh: Mesh | None = None, dtype=jnp.float32,
+                 lengths=None, wire: str = "auto") -> list[DecodeResult]:
+    """Decode a (B, N) batch of waveforms; returns B results.
+
+    One device dispatch + one blocking device->host transfer.  Integer
+    batches are conditioned on device; for zero-padded ragged batches
+    pass `lengths` (true samples per row) so DC removal averages over
+    real samples only and the trigger grid stops at real windows.
+    ``wire`` selects the integer upload format (ops.wire; "auto" = int8
+    per-row quantization on real TPU — a 64-drop batch is upload-bound
+    just like a long single file)."""
+    return finish_dispatched(*dispatch_batch(
+        pcms, fs, config=config, mesh=mesh, dtype=dtype, lengths=lengths,
+        wire=wire))

@@ -32,7 +32,8 @@ def test_reprocess_corpus(corpus, tmp_path):
         text = open(os.path.join(out, name)).read()
         assert "Probe Serial: 00123456" in text
         assert text.count("\n") > 100
-    assert "device.decode_batch" in manifest["stage_times"]
+    assert "device.dispatch_batch" in manifest["stage_times"]
+    assert "device.fetch_batch" in manifest["stage_times"]
 
 
 def test_resume_skips_done(corpus, tmp_path):
