@@ -30,6 +30,8 @@ _EXPORTS = {
     "decode_wav_tpu": ("axctdprocessor_tpu.models.tpu_engine", "decode_wav_tpu"),
     "decode_waveform_tpu": ("axctdprocessor_tpu.models.tpu_engine", "decode_waveform_tpu"),
     "decode_batch": ("axctdprocessor_tpu.parallel.batch", "decode_batch"),
+    "decode_batches_pipelined": (
+        "axctdprocessor_tpu.parallel.pipeline", "decode_batches_pipelined"),
     "reprocess_corpus": ("axctdprocessor_tpu.parallel.archive", "reprocess_corpus"),
     "AXCTDStreamDecoder": ("axctdprocessor_tpu.models.stream", "AXCTDStreamDecoder"),
     "DecoderConfig": ("axctdprocessor_tpu.utils.config", "DecoderConfig"),

@@ -38,8 +38,13 @@ def _build_library() -> bool:
 
 
 def get_library():
-    """The loaded native library, or None if unavailable."""
+    """The loaded native library, or None if unavailable.
+
+    ``AXCTD_NO_NATIVE=1`` disables it (pure-Python fallbacks everywhere);
+    useful for fault isolation."""
     global _lib, _lib_failed
+    if os.environ.get("AXCTD_NO_NATIVE"):
+        return None
     with _lock:
         if _lib is not None or _lib_failed:
             return _lib

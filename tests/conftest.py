@@ -12,6 +12,15 @@ clean, fast CPU test environment, ``pytest_configure`` re-execs pytest
 exactly once with the plugin stripped from PYTHONPATH and the CPU flags
 set (stopping pytest's fd capture first so the child inherits the real
 stdout/stderr).
+
+The re-exec also splits the suite across two xdist worker PROCESSES
+(``-n 2 --dist loadfile``) when the user didn't pass their own ``-n``:
+XLA's CPU compiler segfaults DETERMINISTICALLY (reproduced 4/4, jax 0.8
+era) on whatever fresh compilation comes after ~115 tests' worth of
+compiled programs accumulate in one process — the same compiles succeed
+in fresher processes, ASan cleared the repo's own native code, and the
+crash reproduces with the native library disabled.  Halving per-process
+compile volume keeps the suite far from the threshold.
 """
 
 import os
@@ -35,7 +44,11 @@ def pytest_configure(config):
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+    args = sys.argv[1:]
+    if not any(a == "-n" or a.startswith("-n") and a[2:].isdigit()
+               or a.startswith("--numprocesses") for a in args):
+        args = ["-n", "2", "--dist", "loadfile"] + args
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + args, env)
 
 
 if not _NEEDS_REEXEC:

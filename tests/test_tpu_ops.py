@@ -99,6 +99,31 @@ def test_bit_edge_chain_matches_host(rng):
         np.testing.assert_array_equal(got, expected)
 
 
+def test_frame_sync_accept_overflow_degrades_gracefully():
+    """Accepts beyond the n/16 compaction capacity truncate the walk —
+    but every emitted frame must still respect the 32-bit spacing and
+    match the host walk up to the truncation point (the overflow guard;
+    an unbounded searchsorted result used to slip through and emit a
+    frame violating the spacing invariant)."""
+    n = 4096
+    accept = np.zeros(n, bool)
+    accept[::2] = True  # far denser than the n/16 capacity
+    starts, n_frames, _ = chain.enumerate_frames(
+        jnp.asarray(accept), n, max_steps=n, max_frames=256)
+    got = np.asarray(starts[: int(n_frames)])
+    assert int(n_frames) > 0
+    assert np.all(np.diff(got) >= 32)
+    # prefix matches the host walk
+    s, ref = 0, []
+    while s < n - 32 and len(ref) < len(got):
+        if accept[s]:
+            ref.append(s)
+            s += 32
+        else:
+            s += 1
+    np.testing.assert_array_equal(got, ref[: len(got)])
+
+
 def test_frame_sync_chain_matches_host(rng):
     for trial in range(8):
         n = 2000
