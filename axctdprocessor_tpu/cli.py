@@ -105,7 +105,8 @@ def _run_corpus(args) -> int:
     compat = "fixed" if args.fixed_settings else "strict"
     manifest = reprocess_corpus(paths, out_dir, settings=settings, compat=compat,
                                 batch_size=args.batch_size,
-                                resume=not args.no_resume)
+                                resume=not args.no_resume,
+                                wire=args.wire, diagnostics=args.diagnostics)
     done = sum(1 for v in manifest["files"].values() if v["status"] == "done")
     if not args.quiet:
         print(f"[+] {done}/{len(paths)} drops decoded -> {out_dir}")

@@ -73,6 +73,18 @@ class DecodeResult:
     # (`hexframes` bypasses QC — upstream quirk kept for report parity —
     # so it can misalign with the profile rows; this field doesn't.)
     hexframes_qc: list = dataclasses.field(default_factory=list)
+    # resolved host->device wire format ("int16"/"int8"/"int4"/"float32");
+    # None on the host parity path.  Recorded so a decode is attributable
+    # ("auto" resolves differently per backend) — surfaces in the archive
+    # manifest and the --diagnostics report settings echo.
+    wire: str | None = None
+    # TPU-engine truncation indicator (0 = clean): bit 0 crossings hit
+    # the Rice-rate capacity, bit 1 bit-edge table full, bit 2 frame-sync
+    # accept compaction overflowed, bit 3 frame table full.  Degradation
+    # is graceful (excess entries drop), but a clipped decode must be
+    # distinguishable from a clean one.  Always 0 on the parity path
+    # (host buffers grow dynamically).
+    overflow: int = 0
 
 
 class ParityDecoder:

@@ -131,11 +131,13 @@ def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
         is_c = sgn[:seg_len] != sgn[1 : seg_len + 1]
         gpos_blk = jnp.arange(seg_len) + k_off
         is_c &= (gpos_blk >= edge_pad) & (gpos_blk < nv_dec - 1)
-        pos, _ = chain_ops.compact_indices(is_c, c_seg, BIG)
+        pos, cnt = chain_ops.compact_indices(is_c, c_seg, BIG)
         probes = goertzel.tone_power_at(
             fbody, jnp.clip(pos, 0, seg_len - 1) + bit_inset, npcm, btrig)
         gpos = jnp.where(pos < BIG, pos + k_off, BIG).astype(jnp.int32)
-        return powers, gpos, probes[:, 0], probes[:, 1]
+        # truncation flag: this segment's crossings exceeded capacity
+        ovf = (cnt > c_seg).astype(jnp.int32)
+        return powers, gpos, probes[:, 0], probes[:, 1], ovf
 
     return jax.jit(run)
 
@@ -144,7 +146,7 @@ def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
 def _assemble_program(n_seg: int, dims, fs: float, bitrate: float):
     """Concatenate per-segment outputs, sort/compact crossings, run the
     bit-edge chain, and hand off to the fused device back half."""
-    def run(powers, gpos, p1, p2, n_valid, trig_i, trig_f, hdr_rel,
+    def run(powers, gpos, p1, p2, ovf_seg, n_valid, trig_i, trig_f, hdr_rel,
             calib_off, coeff_defaults, temp_lut, limits):
         # powers: (n_seg, strides, F) -> global smoothed ratios
         p = powers.reshape(-1, powers.shape[-1])
@@ -172,7 +174,7 @@ def _assemble_program(n_seg: int, dims, fs: float, bitrate: float):
             r400, r7500, g_s[safe], n_edges,
             p1.reshape(-1)[at_edges], p2.reshape(-1)[at_edges],
             n_valid, trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
-            temp_lut, limits, dims, fs)
+            temp_lut, limits, dims, fs, overflow0=jnp.max(ovf_seg))
 
     return jax.jit(run)
 
@@ -240,6 +242,7 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
             dc = float(np.mean(pcm))
             peak = max(float(np.max(np.abs(pcm))), 1.0) if n_raw else 1.0
     else:
+        w = "float32"  # conditioned float PCM ships verbatim
         dc, peak = 0.0, 1.0  # float input arrives conditioned
         pcm = pcm.astype(np.float32)
 
@@ -306,10 +309,10 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
 
     assemble = _assemble_program(n_seg_pad, dims, fs, float(cfg.bitrate))
     params = eng.fused_inputs(cfg, fs)
-    out = assemble(gather(0), gather(1), gather(2), gather(3),
+    out = assemble(gather(0), gather(1), gather(2), gather(3), gather(4),
                    nv_dec, params["trig_i"], params["trig_f"],
                    params["hdr_rel"],
                    params["calib_off"], params["coeff_defaults"],
                    params["temp_lut"], params["limits"])
     host = jax.device_get(out)  # the decode's one blocking transfer
-    return eng.finish_result(host, fs_report, n, fs, cfg)
+    return eng.finish_result(host, fs_report, n, fs, cfg, wire_used=w)

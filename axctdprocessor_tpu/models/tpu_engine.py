@@ -233,8 +233,12 @@ def stage1_core(pcm, power_trig, sos_arr, bit_trig,
     # C. per-bit mark/space powers over the inset window (MXU)
     probes = goertzel.tone_power_at(
         filtered, edge_samples + bit_inset, dims.npcm, bit_trig)
+    # truncation indicator: crossings past the Rice-rate capacity were
+    # dropped (graceful, but a clipped decode must be distinguishable)
+    overflow = (n_cross > dims.max_crossings).astype(jnp.int32)
     return dict(r400=r400, r7500=r7500, edge_samples=edge_samples,
-                n_edges=n_edges, s1=probes[:, 0], s2=probes[:, 1])
+                n_edges=n_edges, s1=probes[:, 0], s2=probes[:, 1],
+                overflow=overflow)
 
 
 def _use_pallas_default() -> bool:
@@ -349,7 +353,7 @@ def stage2_core(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
     accept = (bits_p == 1) & (nxt == 0) & crc_valid & (bit_r7500 > 0)
     accept &= idx < n_prof - 32
 
-    starts, n_frames, consumed = chain_ops.enumerate_frames(
+    starts, n_frames, consumed, sync_ovf = chain_ops.enumerate_frames(
         accept, n_prof, max_steps=me, max_frames=dims.max_frames)
 
     # 3. frame fields
@@ -398,7 +402,8 @@ def stage2_core(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
 
     return dict(times=times, depth=z, temp=temp, cond=cond, psal=psal,
                 r400=fr400, r7500=fr7500, hexpack=hexpack, good=good,
-                frame_valid=frame_valid, n_frames=n_frames, consumed=consumed)
+                frame_valid=frame_valid, n_frames=n_frames, consumed=consumed,
+                overflow=sync_ovf << 2)  # bits 2-3: accept/frame tables
 
 
 # ---------------------------------------------------------------------------
@@ -419,7 +424,10 @@ def trigger_tables(cfg: DecoderConfig, fs: float):
         int(math.ceil(4.5 * fs)),            # baseline lo:  rel >= .
         int(math.floor(5.5 * fs)),           # baseline hi:  rel <= .
         int(math.floor(tr0 * fs)) + 1,       # trigger:      rel >= . (== rel > tr0*fs)
-        int(math.ceil(tr1 * fs)) if tr1 > 0 else 0,   # timeout reach
+        # both the reach test and the offset truncate (reference
+        # AXCTDprocessor.py:404-405 uses int(fs*tr1) for both): a ceil'd
+        # reach would fire one window later when tr1*fs is non-integer
+        int(tr1 * fs) if tr1 > 0 else 0,     # timeout reach
         int(tr1 * fs) if tr1 > 0 else 0,     # timeout profstart offset
         1 if tr1 > 0 else 0,                 # timeout enabled
         1 if cfg.compat == "fixed" else 0,   # elif-quirk bypass (PARITY #16)
@@ -478,11 +486,16 @@ def trigger_core(r400, r7500, n_valid, trig_i, trig_f, dims: EngineDims,
 
 def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
                    trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
-                   temp_lut, limits, dims: EngineDims, fs: float):
+                   temp_lut, limits, dims: EngineDims, fs: float,
+                   overflow0=None):
     """Everything after the DSP front end, fused on device: trigger
     scalars, bit decisions + calibration, header trim/sync/decode, live
     coefficient merge, and the profile stage.  Only the final result
-    tree crosses to the host (one blocking transfer)."""
+    tree crosses to the host (one blocking transfer).
+
+    ``overflow0`` carries the caller's stage-1 truncation bit (crossing
+    capacity); the edge-table and frame-sync bits are added here and the
+    combined indicator ships in ``scal_i[5]`` (DecodeResult.overflow)."""
     from ..ops import header_device as hdr
 
     fp, mean7500, profstart = trigger_core(r400, r7500, n_valid, trig_i,
@@ -512,6 +525,11 @@ def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
     frame_valid = out["frame_valid"] & gate
     good = out["good"] & gate
 
+    ovf = (jnp.asarray(0, jnp.int32) if overflow0 is None
+           else overflow0.astype(jnp.int32))
+    ovf |= (n_edges >= dims.max_edges).astype(jnp.int32) << 1
+    ovf |= out["overflow"]
+
     # the result tree is packed into FIVE arrays: device->host transfers
     # over the relay cost ~10 ms latency per leaf regardless of size, so
     # a 20-leaf tree would spend more wall time on leaf latency than on
@@ -526,7 +544,7 @@ def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
         h2_frames.reshape(-1), h3_frames.reshape(-1)])
     scal_i = jnp.stack([fp, profstart, jnp.where(gate, out["n_frames"], 0),
                         h2_usable.astype(jnp.int32),
-                        h3_usable.astype(jnp.int32)])
+                        h3_usable.astype(jnp.int32), ovf])
     scal_f = jnp.stack([mean7500, s15["scale"]])
     return dict(rows=rows, hexpack=out["hexpack"], hdr=hdr,
                 scal_i=scal_i, scal_f=scal_f)
@@ -560,7 +578,8 @@ def fused_core(pcm, n_valid, power_trig, sos_arr, bit_trig, trig_i, trig_f,
     return back_half_core(s1["r400"], s1["r7500"], s1["edge_samples"],
                           s1["n_edges"], s1["s1"], s1["s2"], n_valid,
                           trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
-                          temp_lut, limits, dims, fs)
+                          temp_lut, limits, dims, fs,
+                          overflow0=s1["overflow"])
 
 
 _fused = functools.partial(
@@ -626,12 +645,14 @@ HDR_N = 72  # found flags per header in the packed hdr array
 
 
 def finish_result(out: dict, fs_report, n: int, fs: float,
-                  cfg: DecoderConfig) -> DecodeResult:
+                  cfg: DecoderConfig, wire_used: str | None = None) -> DecodeResult:
     """Build a DecodeResult from one fused-decode output tree (host side:
     status, exact float64 metadata from the header frame arrays, report
     formatting — all microsecond-scale numpy/python)."""
-    result = DecodeResult(fs=fs_report, numpoints=n)
+    result = DecodeResult(fs=fs_report, numpoints=n, wire=wire_used)
     scal_i = np.asarray(out["scal_i"])
+    if scal_i.shape[0] > 5:
+        result.overflow = int(scal_i[5])
     fp = int(scal_i[0])
     if fp < 0:
         result.status = 0
@@ -694,7 +715,7 @@ def trigger_scalars(r400: np.ndarray, r7500: np.ndarray, cfg: DecoderConfig,
         profstart = int(win_samples[np.flatnonzero(trig_mask)[0]])
     elif (cfg.trigger_range[1] > 0
           and (cfg.compat == "fixed" or not tone_path)
-          and win_samples[-1] >= firstpulse + fs * cfg.trigger_range[1]):
+          and win_samples[-1] >= firstpulse + int(fs * cfg.trigger_range[1])):
         profstart = firstpulse + int(fs * cfg.trigger_range[1])
     return firstpulse, mean7500, profstart
 
@@ -762,7 +783,10 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     if np.issubdtype(pcm.dtype, np.integer):
         from ..ops import wire as wire_ops
 
-        pcm = wire_ops.encode(pcm, wire)
+        wire_used = wire_ops.resolve_wire(wire, pcm.dtype)
+        pcm = wire_ops.encode(pcm, wire_used)
+    else:
+        wire_used = "float32"  # conditioned float PCM ships verbatim
     packed4 = pcm.dtype == np.uint8  # int4 wire: 2 samples/byte
     # >50 kHz input decimates by 2 on device; the report then prints the
     # halved rate as a float, exactly like the reference's host `fs /= 2`
@@ -824,7 +848,7 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
                  bit_inset=cfg.bit_inset, edge_pad=100, use_pallas=use_pallas,
                  decimate2=decimate2, decim_sos=decim_sos)
     host = jax.device_get(out)  # the decode's one blocking transfer
-    return finish_result(host, fs_report, n, fs, cfg)
+    return finish_result(host, fs_report, n, fs, cfg, wire_used=wire_used)
 
 
 def decode_wav_tpu(path: str, timerange=(0, -1), settings: dict | None = None,

@@ -96,6 +96,90 @@ def chain_enumerate(next_idx: jnp.ndarray, start, length: int,
     return jnp.concatenate([chain0, rest.reshape(-1)])[:k]
 
 
+def chain_enumerate_strided(next_idx: jnp.ndarray, start, length: int,
+                            stride_bound: int = 4,
+                            max_level: int = 7) -> jnp.ndarray:
+    """`chain_enumerate` for successor maps with a bounded stride:
+    ``next_idx[i] - i`` in {0} ∪ [1, stride_bound] (0 marks fixed
+    points).  The bit-edge chain is exactly this shape — each hop picks
+    one of the next four crossings (demodulate.py:85-93 semantics).
+
+    The jump-table squarings become **gather-free**: with
+    ``delta_L[i] = next^L[i] - i``, composition is
+
+        delta_2L[i] = delta_L[i] + delta_L[i + delta_L[i]]
+
+    and a non-stalled L-step walk advances between L and stride_bound*L
+    positions, so ``delta_L[i + delta_L[i]]`` is a select over the
+    3L+1 *shifted* copies ``delta_L[i + s]``, s in [L, stride_bound*L] —
+    sequential HBM reads the compiler fuses, instead of the full-table
+    random gathers that dominated the chain cost (measured ~14 ms per
+    squaring at 1.8M entries; see `chain_enumerate`).  Stalled walks
+    (delta < L: the chain hit a fixed point within L steps) fall outside
+    the candidate set and keep delta unchanged — which is exact, because
+    a stalled walk stays at its fixed point.
+
+    The byproduct tables delta_1, delta_2, ... delta_{2^max_level} also
+    replace phase-1's doubling gathers with small chain-sized ones.
+    """
+    k = int(length)
+    n = next_idx.shape[0]
+    assert stride_bound << max_level <= 32767, "delta exceeds int16"
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # deltas stay <= stride_bound * 2^max_level << 32767: int16 halves the
+    # HBM traffic of the shifted-select compositions
+    delta = (next_idx.astype(jnp.int32) - idx).astype(jnp.int16)
+    first = min(1 << (k - 1).bit_length(), 1 << max_level)
+
+    deltas = [delta]
+    span, hi = 1, stride_bound
+    while 2 * span <= first and 2 * span < k:
+        acc = jnp.zeros_like(delta)
+        for s in range(span, hi + 1):
+            if s < n:
+                shifted = jnp.concatenate(
+                    [delta[s:], jnp.zeros((s,), jnp.int16)])
+            else:  # shift past the table: everything lands on the pad
+                shifted = jnp.zeros((n,), jnp.int16)
+            acc = jnp.where(delta == jnp.int16(s), shifted, acc)
+        delta = delta + acc
+        deltas.append(delta)
+        span *= 2
+        hi *= 2
+
+    # phase 1: doubling on the chain array (gathers of at most first/2)
+    chain0 = jnp.zeros((first,), jnp.int32).at[0].set(start)
+    s2 = 1
+    for d in deltas:
+        if s2 >= first:
+            break
+        seg = chain0[:s2] + d[chain0[:s2]].astype(jnp.int32)
+        chain0 = lax.dynamic_update_slice(chain0, seg, (s2,))
+        s2 *= 2
+    if first >= k:
+        return chain0[:k]
+
+    # phase 2: scan with the final delta table.  UNROLL jump applications
+    # per scan step amortize the per-iteration dispatch overhead, which
+    # dominated the un-unrolled tail (measured: the L=6..9 sweep was flat
+    # at ~52-57 ms because halving the iteration count doubled the select
+    # cost; the gather work itself is only ~4 ms)
+    d_last = deltas[-1]
+    unroll = 8
+    n_chunks = -(-(k - first) // (first * unroll))
+
+    def body(chunk, _):
+        outs = []
+        nc = chunk
+        for _ in range(unroll):
+            nc = nc + d_last[nc].astype(jnp.int32)
+            outs.append(nc)
+        return nc, jnp.stack(outs)
+
+    _, rest = lax.scan(body, chain0, None, length=n_chunks)
+    return jnp.concatenate([chain0, rest.reshape(-1)])[:k]
+
+
 def bit_edge_successors(crossings: jnp.ndarray, n_valid, fs: float,
                         bitrate: float) -> jnp.ndarray:
     """Successor table for the greedy 4-candidate bit-edge chain.
@@ -138,7 +222,11 @@ def enumerate_bit_edges(crossings: jnp.ndarray, n_valid, fs: float,
     n_edges).  Entry j beyond n_edges repeats the terminal index.
     """
     nxt = bit_edge_successors(crossings, n_valid, fs, bitrate)
-    chain = chain_enumerate(nxt, jnp.asarray(0, jnp.int32), max_edges)
+    # the successor stride is bounded (i+1 .. i+4), so the jump-table
+    # squarings run gather-free (chain_enumerate_strided); A/B'd on chip
+    # against the full-gather chain_enumerate — see ROADMAP.md
+    chain = chain_enumerate_strided(nxt, jnp.asarray(0, jnp.int32),
+                                    max_edges)
     # valid while strictly advancing
     advanced = jnp.concatenate(
         [jnp.ones((1,), bool), chain[1:] > chain[:-1]]
@@ -151,10 +239,13 @@ def enumerate_frames(accept: jnp.ndarray, n_bits, max_steps: int,
                      max_frames: int):
     """Run frame sync over the whole bitstream at once.
 
-    Returns (frame_starts[max_frames], n_frames, consumed) where
-    `consumed` is the scan's final position (bits to drop from a
-    streaming buffer).  `accept` is the precomputed per-offset frame
-    validity ('10' prefix + CRC + signal gate).
+    Returns (frame_starts[max_frames], n_frames, consumed, overflow)
+    where `consumed` is the scan's final position (bits to drop from a
+    streaming buffer) and `overflow` is an int32 truncation indicator
+    (bit 0: accepted offsets exceeded the compaction capacity; bit 1:
+    the frame table filled — a clipped decode is distinguishable from a
+    clean one).  `accept` is the precomputed per-offset frame validity
+    ('10' prefix + CRC + signal gate).
 
     Upstream semantics (parse.py:57-89): advance 1 bit on a reject, 32
     on an accepted frame, stop at ``n_bits - 32``.  Because every
@@ -202,4 +293,6 @@ def enumerate_frames(accept: jnp.ndarray, n_bits, max_steps: int,
     last_start = jnp.max(jnp.where(is_frame, starts, -1))
     last_end = jnp.where(n_frames > 0, last_start + 32, 0)
     consumed = jnp.minimum(jnp.maximum(floor_pos, last_end), n - 1)
-    return starts, n_frames, consumed
+    overflow = ((n_acc > cap).astype(jnp.int32)
+                | ((n_frames >= max_frames).astype(jnp.int32) << 1))
+    return starts, n_frames, consumed, overflow

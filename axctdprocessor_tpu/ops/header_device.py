@@ -87,7 +87,7 @@ def parse_header_frames(bits: jnp.ndarray, n_bits):
 
     max_steps = n
     max_frames = n // FRAME_BITS + 2
-    starts, n_frames, _ = chain_ops.enumerate_frames(
+    starts, n_frames, _, _ = chain_ops.enumerate_frames(
         accept, n_bits, max_steps=max_steps, max_frames=max_frames)
 
     fwin = bits[starts[:, None] + jnp.arange(FRAME_BITS)]

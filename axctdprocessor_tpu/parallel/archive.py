@@ -66,7 +66,7 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
                      settings: dict | None = None, compat: str = "strict",
                      mesh=None, batch_size: int = 8, resume: bool = True,
                      timer: StageTimer | None = None,
-                     wire: str = "auto") -> dict:
+                     wire: str = "auto", diagnostics: bool = False) -> dict:
     """Decode every WAV into `out_dir`/<name>.txt; returns the manifest."""
     os.makedirs(out_dir, exist_ok=True)
     cfg = resolve_settings(settings, compat=compat)
@@ -101,7 +101,11 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
 
     def bucket_of(path):
         nbytes = os.path.getsize(path)
-        seconds = nbytes / (2 * 44100)  # 16-bit mono estimate; only a hint
+        fs = fs_of(path)
+        # duration estimate from the real sample rate (16-bit mono bytes);
+        # a fixed 44.1 kHz guess bucketed 22.05 kHz corpora 2x off,
+        # splitting batches that could share a compilation.  Hint-only.
+        seconds = nbytes / (2 * (fs if fs > 0 else 44100))
         return int(np.ceil(max(seconds, 1) / BUCKET_SECONDS))
 
     todo.sort(key=lambda p: (fs_of(p), bucket_of(p)))
@@ -165,12 +169,16 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
                     "deadfreq": cfg.dead_freq, "pointsperloop": 100000,
                     "triggerrange": list(cfg.trigger_range),
                 }
-                write_report(out_path, res, path, [0, -1], echo, cfg)
-                manifest["files"][name] = {
+                write_report(out_path, res, path, [0, -1], echo, cfg,
+                             diagnostics=diagnostics)
+                entry = {
                     "status": "done", "rows": len(res.time),
                     "decode_status": res.status, "output": out_path,
-                    "finished_at": time.time(),
+                    "wire": res.wire, "finished_at": time.time(),
                 }
+                if res.overflow:
+                    entry["overflow"] = res.overflow  # clipped decode
+                manifest["files"][name] = entry
         _save_manifest(out_dir, manifest)
 
     # software pipeline: while batch k computes on device, batch k-1 is

@@ -92,23 +92,24 @@ def _batched_back_half(dims, fs):
     """vmapped device back half, for callers with their own front end
     (the time-sharded dp x sp path); input sharding follows the caller's
     arrays."""
-    def one(r400, r7500, edges, n_edges, s1p, s2p, n_valid, trig_i, trig_f,
-            hdr_rel, calib_off, coeff_defaults, temp_lut, limits):
+    def one(r400, r7500, edges, n_edges, s1p, s2p, n_valid, ovf0, trig_i,
+            trig_f, hdr_rel, calib_off, coeff_defaults, temp_lut, limits):
         return eng.back_half_core(r400, r7500, edges, n_edges, s1p, s2p,
                                   n_valid, trig_i, trig_f, hdr_rel,
                                   calib_off, coeff_defaults, temp_lut,
-                                  limits, dims, fs)
+                                  limits, dims, fs, overflow0=ovf0)
 
-    return jax.jit(jax.vmap(one, in_axes=(0,) * 7 + (None,) * 7))
+    return jax.jit(jax.vmap(one, in_axes=(0,) * 8 + (None,) * 7))
 
 
 def finish_batch(out_host: dict, cfg: DecoderConfig, fs: float, fs_report,
-                 lengths) -> list[DecodeResult]:
+                 lengths, wire_used: str | None = None) -> list[DecodeResult]:
     """Per-row host finish (status, exact metadata, report fields)."""
     b = len(np.asarray(out_host["scal_i"]))
     return [
         eng.finish_result({k: v[i] for k, v in out_host.items()},
-                          fs_report, int(lengths[i]), fs, cfg)
+                          fs_report, int(lengths[i]), fs, cfg,
+                          wire_used=wire_used)
         for i in range(b)
     ]
 
@@ -121,9 +122,12 @@ def run_back_half_batched(s1: dict, cfg: DecoderConfig, fs: float, dims,
     bits/edges/headers never leave the device."""
     bh = _batched_back_half(dims, float(fs))
     params = eng.fused_inputs(cfg, float(fs))
+    ovf0 = s1.get("overflow")
+    if ovf0 is None:
+        ovf0 = jnp.zeros_like(s1["n_edges"])
     out = bh(s1["r400"], s1["r7500"], s1["edge_samples"], s1["n_edges"],
              s1["s1"], s1["s2"], jnp.asarray(np.asarray(lengths, np.int32)),
-             params["trig_i"], params["trig_f"], params["hdr_rel"],
+             ovf0, params["trig_i"], params["trig_f"], params["hdr_rel"],
              params["calib_off"], params["coeff_defaults"],
              params["temp_lut"], params["limits"])
     out_host = jax.device_get(out)
@@ -155,16 +159,21 @@ def dispatch_batch(pcms, fs, config: DecoderConfig | None = None,
     if np.issubdtype(pcms.dtype, np.integer):
         from ..ops import wire as wire_ops
 
-        pcms = wire_ops.encode_rows(pcms, wire)
+        wire_used = wire_ops.resolve_wire(wire, pcms.dtype)
+        pcms = wire_ops.encode_rows(pcms, wire_used)
         if pcms.dtype == np.uint8:
             n += n % 2  # packed int4 rows carry an even sample count
+    else:
+        wire_used = "float32"
     if mesh is not None:
         (pcms, lengths), _ = pad_to_multiple([pcms, lengths], mesh.shape["dp"])
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
     ptrig, btrig, sos = eng.engine_tables(cfg, fs, dims)
 
-    use_pallas = eng._use_pallas_default()
+    # mirror the monolithic guard (decode_waveform_tpu): the fused Pallas
+    # kernel is float32-only — a float64 request must take the MXU path
+    use_pallas = eng._use_pallas_default() and dtype == jnp.float32
     if use_pallas:
         from ..ops.pallas import tonepower
 
@@ -180,14 +189,15 @@ def dispatch_batch(pcms, fs, config: DecoderConfig | None = None,
                 params["trig_i"], params["trig_f"], params["hdr_rel"],
                 params["calib_off"], params["coeff_defaults"],
                 params["temp_lut"], params["limits"])
-    return out, (cfg, fs, fs_report, lengths, b_orig)
+    return out, (cfg, fs, fs_report, lengths, b_orig, wire_used)
 
 
 def finish_dispatched(out, ctx) -> list[DecodeResult]:
     """Fetch + host-finish a dispatch_batch result (the blocking step)."""
-    cfg, fs, fs_report, lengths, b_orig = ctx
+    cfg, fs, fs_report, lengths, b_orig, wire_used = ctx
     out_host = jax.device_get(out)
-    return finish_batch(out_host, cfg, fs, fs_report, lengths)[:b_orig]
+    return finish_batch(out_host, cfg, fs, fs_report, lengths,
+                        wire_used=wire_used)[:b_orig]
 
 
 def decode_batch(pcms, fs, config: DecoderConfig | None = None,

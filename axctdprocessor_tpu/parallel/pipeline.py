@@ -67,8 +67,9 @@ def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
         raise ValueError("pass unpacked integer rows with wire='int4'; "
                          "pre-packed nibble streams lose the sample count")
     n = int(first.shape[1])
-    if np.issubdtype(first.dtype, np.integer) \
-            and wire_ops.resolve_wire(wire, first.dtype) == "int4":
+    wire_used = (wire_ops.resolve_wire(wire, first.dtype)
+                 if np.issubdtype(first.dtype, np.integer) else "float32")
+    if wire_used == "int4":
         n += n % 2  # packed int4 rows carry an even sample count
     npcm = int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100))) - 2 * cfg.bit_inset
     dims = eng.EngineDims.for_waveform(n, fs, cfg.bitrate, npcm)
@@ -95,17 +96,33 @@ def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
     def drain(item):
         out, lengths = item
         results.append(finish_batch(jax.device_get(out), cfg, fs, fs_report,
-                                    lengths))
+                                    lengths, wire_used=wire_used))
 
-    for pcms, lengths in batches:
+    # batch k+1's quantization + host->device upload runs in a background
+    # thread while batch k dispatches and k-1 fetches: device_put of a
+    # full (B, N) row block otherwise blocks the Python loop while the
+    # wire drains (the serialized upload was the pipeline's real
+    # bottleneck — batch throughput barely amortized over single-file)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def stage(item):
+        pcms, lengths = item
         pcms = np.asarray(pcms)
         lengths = np.asarray(lengths if lengths is not None
                              else [pcms.shape[1]] * pcms.shape[0], np.int32)
         if np.issubdtype(pcms.dtype, np.integer):
-            pcms = wire_ops.encode_rows(pcms, wire)
+            pcms = wire_ops.encode_rows(pcms, wire)  # C quantizer, no GIL
         x = jax.device_put(pcms if np.issubdtype(pcms.dtype, np.integer)
                            else pcms.astype(np.float32), d_front)
         nv = jax.device_put(lengths, d_front)
+        return x, nv, lengths
+
+    stager = ThreadPoolExecutor(max_workers=1)
+    staged = stager.submit(stage, batches[0])
+    for bi in range(len(batches)):
+        x, nv, lengths = staged.result()
+        staged = (stager.submit(stage, batches[bi + 1])
+                  if bi + 1 < len(batches) else None)
         s1 = stage1(x, nv, *front_consts)  # async on the front device
 
         # ship stage-1 tables to the back device (async inter-device copy)
@@ -113,6 +130,7 @@ def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
         nv_b = jax.device_put(lengths, d_back)
         out = back(s1_b["r400"], s1_b["r7500"], s1_b["edge_samples"],
                    s1_b["n_edges"], s1_b["s1"], s1_b["s2"], nv_b,
+                   s1_b["overflow"],
                    back_consts["trig_i"], back_consts["trig_f"],
                    back_consts["hdr_rel"], back_consts["calib_off"],
                    back_consts["coeff_defaults"], back_consts["temp_lut"],
@@ -123,4 +141,5 @@ def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
             drain(inflight.pop(0))
     while inflight:
         drain(inflight.pop(0))
+    stager.shutdown(wait=False)
     return results

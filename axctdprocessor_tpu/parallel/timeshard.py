@@ -114,10 +114,23 @@ def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int
         powers = jax.vmap(powers_one)(x_ext)  # (b, n_win_blk, 3)
 
         # --- filter with left warm-up halo -------------------------------
+        # Overlap-save FFT filtering with the exact SOS response, like the
+        # segmented engine (segmented.py): the associative-scan IIR the
+        # blocks previously used is the construction the monolithic engine
+        # documents as a compile-time trap at scale (its log-depth graph
+        # takes tens of minutes to remote-compile at whole-waveform sizes,
+        # tpu_engine.stage1_core) — and SP exists for exactly the longest
+        # files, whose per-device blocks are minutes of audio.  The WARMUP
+        # left halo absorbs both the filter ring-in and the circular
+        # wrap-around (IIR transient < ~1k samples << WARMUP).
         left_raw = lax.ppermute(x_blk[:, -WARMUP:], "sp", fwd)
         left_raw = jnp.where(is_first, 0.0, left_raw)
         x_warm = jnp.concatenate([left_raw, x_blk], axis=1)
-        filt = jax.vmap(lambda r: iir.sosfilt(sos_arr, r))(x_warm)[:, WARMUP:]
+        nfft = iir.next_pow2(block + WARMUP)
+        resp = eng.sos_response_on_device(sos_arr, nfft)
+        spec = jnp.fft.rfft(x_warm, nfft, axis=1) * resp[None, :]
+        filt = jnp.fft.irfft(spec, nfft, axis=1)[:, WARMUP : WARMUP + block]
+        filt = filt.astype(x_warm.dtype)
 
         # --- crossings + per-crossing tone probes ------------------------
         right_f = lax.ppermute(filt[:, :cross_halo], "sp", bwd)
@@ -131,20 +144,22 @@ def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int
             # no bit edges in the zero-padded tail (filter ring-down there
             # would otherwise demodulate into garbage frames)
             is_c &= gpos_blk < nv - 1
-            pos, _ = chain_ops.compact_indices(is_c, max_cross_blk, BIG)
+            pos, cnt = chain_ops.compact_indices(is_c, max_cross_blk, BIG)
             probes = goertzel.tone_power_at(
                 row, jnp.clip(pos, 0, block - 1) + bit_inset, dims.npcm, btrig)
             gp = jnp.where(pos < BIG, pos + sp_i * block, BIG)
-            return gp.astype(jnp.int32), probes[:, 0], probes[:, 1]
+            # truncation flag: this block's crossings exceeded capacity
+            ovf = (cnt > max_cross_blk).astype(jnp.int32)
+            return gp.astype(jnp.int32), probes[:, 0], probes[:, 1], ovf
 
-        gpos, p1, p2 = jax.vmap(cross_one)(f_ext, n_valid)
-        return powers, gpos, p1, p2
+        gpos, p1, p2, ovf = jax.vmap(cross_one)(f_ext, n_valid)
+        return powers, gpos, p1, p2, ovf[:, None]
 
     return shard_map(
         frontend, mesh=mesh,
         in_specs=(P("dp", "sp"), P("dp"), P(), P(), P()),
         out_specs=(P("dp", "sp", None), P("dp", "sp"), P("dp", "sp"),
-                   P("dp", "sp")),
+                   P("dp", "sp"), P("dp", "sp")),
     )
 
 
@@ -171,7 +186,7 @@ def sharded_stage1(pcms, fs: float, cfg: DecoderConfig, mesh: Mesh,
 
     @functools.partial(jax.jit)
     def run(x, nv, pt, bt, so):
-        powers, gpos, p1, p2 = frontend(x, nv, pt, bt, so)
+        powers, gpos, p1, p2, ovf_blk = frontend(x, nv, pt, bt, so)
         # compact the per-block crossing tables into global sorted order
         order = jnp.argsort(gpos, axis=1)
         gpos_s = jnp.take_along_axis(gpos, order, axis=1)
@@ -195,7 +210,8 @@ def sharded_stage1(pcms, fs: float, cfg: DecoderConfig, mesh: Mesh,
 
         edges, n_edges, s1, s2 = jax.vmap(chain_one)(gpos_s, n_cross, p1_s, p2_s)
         return dict(r400=r400, r7500=r7500, edge_samples=edges,
-                    n_edges=n_edges, s1=s1, s2=s2)
+                    n_edges=n_edges, s1=s1, s2=s2,
+                    overflow=jnp.max(ovf_blk, axis=1))
 
     sh = NamedSharding(mesh, P("dp", "sp"))
     sh_b = NamedSharding(mesh, P("dp"))

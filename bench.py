@@ -43,9 +43,13 @@ import numpy as np
 REFERENCE_RTF = 22.66  # see BASELINE_MEASURED.json
 DURATION = 600.0
 REPEATS = 3
-BATCH_DROPS = 16
+BATCH_DROPS = 64       # BASELINE.md:26 — the spec batch config (64/chip)
+BATCH_SUB = 8          # drops per pipelined sub-batch dispatch
 BATCH_SECONDS = 60.0
+CORPUS_DROPS = 64      # archive-runner measurement (BASELINE.md:27 scale unit)
 WAV = os.path.join(tempfile.gettempdir(), "bench_drop600.wav")
+PARITY_CACHE = os.path.join(tempfile.gettempdir(), "bench_drop600_parity.txt")
+CORPUS_DIR = os.path.join(tempfile.gettempdir(), "bench_corpus64")
 
 
 def _write_drop():
@@ -57,8 +61,47 @@ def _write_drop():
     return truth
 
 
+def _parity_frames() -> list[str]:
+    """Hexframes of the byte-exact parity engine on the bench drop —
+    the correctness reference the timed children compare against (a
+    subtly-wrong decode must fail the gate, not post a headline).
+    Cached: the WAV is deterministic (seed 11)."""
+    if os.path.exists(PARITY_CACHE):
+        frames = open(PARITY_CACHE).read().split()
+        if len(frames) > 1000:
+            return frames
+    from axctdprocessor_tpu.models.parity_engine import decode_wav
+
+    res = decode_wav(WAV)
+    assert res.status == 2 and len(res.hexframes) > 1000, "parity ref failed"
+    with open(PARITY_CACHE, "w") as f:
+        f.write(" ".join(res.hexframes))
+    return res.hexframes
+
+
 def _truth_serial():
     return "00123456"  # simulator default serial (checked in children)
+
+
+def _batch_rows():
+    """The 64 x 60 s int16 batch: one simulated drop + independent noise
+    per row (no cross-drop caching can help)."""
+    import numpy as np
+
+    from axctdprocessor_tpu.models import simulator
+
+    rng = np.random.default_rng(7)
+    spec = simulator.SimSpec(duration=BATCH_SECONDS, profile_start=40.0,
+                             seed=21)
+    pcm, truth = simulator.synthesize(spec)
+    scale = 28000 / np.max(np.abs(pcm))
+    base = np.round(pcm * scale).astype(np.int16)
+    batch = np.stack([
+        np.clip(base + rng.integers(-300, 300, len(base)), -32768, 32767)
+        .astype(np.int16)
+        for _ in range(BATCH_DROPS)
+    ])
+    return batch, truth
 
 
 def pallas_smoke(fs=44100.0):
@@ -108,7 +151,15 @@ def child_single(wire: str) -> None:
     assert res.status == 2 and len(res.time) > 1000, (
         f"warmup decode failed: status={res.status} rows={len(res.time)}")
     assert res.metadata["serial_no"] == _truth_serial()
+    assert res.overflow == 0, f"clipped decode: overflow={res.overflow}"
     n_frames = len(res.hexframes)
+    # correctness gate vs the byte-exact parity engine (not just "many
+    # frames": a symmetric frame-loss regression must fail here)
+    parity = set(open(PARITY_CACHE).read().split())
+    got = set(res.hexframes)
+    agree = len(got & parity) / max(len(got | parity), 1)
+    floor = 0.97 if wire == "int4" else 0.98
+    assert agree > floor, f"frame agreement vs parity {agree:.4f} < {floor}"
 
     times = []
     for _ in range(REPEATS):
@@ -120,26 +171,13 @@ def child_single(wire: str) -> None:
 
 
 def child_batch() -> None:
-    """Timed 16 x 60 s pipelined batch decode; prints WALL seconds."""
-    from axctdprocessor_tpu.models import simulator
+    """Timed 64 x 60 s pipelined batch decode; prints WALL seconds."""
     from axctdprocessor_tpu.parallel.pipeline import decode_batches_pipelined
 
-    rng = np.random.default_rng(7)
-    spec = simulator.SimSpec(duration=BATCH_SECONDS, profile_start=40.0,
-                             seed=21)
-    pcm, truth = simulator.synthesize(spec)
-    scale = 28000 / np.max(np.abs(pcm))
-    base = np.round(pcm * scale).astype(np.int16)
-    # distinct rows (independent noise) so no cross-drop caching can help
-    batch = np.stack([
-        np.clip(base + rng.integers(-300, 300, len(base)), -32768, 32767)
-        .astype(np.int16)
-        for _ in range(BATCH_DROPS)
-    ])
-    sub = 4
-    lengths = [batch.shape[1]] * sub
-    batches = [(batch[i:i + sub], lengths)
-               for i in range(0, BATCH_DROPS, sub)]
+    batch, truth = _batch_rows()
+    lengths = [batch.shape[1]] * BATCH_SUB
+    batches = [(batch[i:i + BATCH_SUB], lengths)
+               for i in range(0, BATCH_DROPS, BATCH_SUB)]
 
     piped = decode_batches_pipelined(batches, 44100)  # warmup + compile
     flat = [r for b in piped for r in b]
@@ -148,11 +186,48 @@ def child_batch() -> None:
     assert ok == BATCH_DROPS, f"batch warmup: {ok}/{BATCH_DROPS} decoded"
 
     times = []
-    for _ in range(REPEATS):
+    for _ in range(max(REPEATS - 1, 2)):
         t0 = time.perf_counter()
         decode_batches_pipelined(batches, 44100)
         times.append(time.perf_counter() - t0)
     print(f"WALL {min(times):.6f} FRAMES {sum(len(r.hexframes) for r in flat)}")
+
+
+def child_corpus() -> None:
+    """Timed archive run: CORPUS_DROPS x 60 s WAVs from disk through the
+    corpus runner (reads + batched decode + reports + manifest); prints
+    WALL seconds.  This is the BASELINE archive config measured end to
+    end at a 64-drop scale unit."""
+    import glob
+    import shutil
+
+    from axctdprocessor_tpu.parallel.archive import reprocess_corpus
+
+    if len(glob.glob(os.path.join(CORPUS_DIR, "*.wav"))) != CORPUS_DROPS:
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        os.makedirs(CORPUS_DIR, exist_ok=True)
+        from scipy.io import wavfile
+
+        batch, _ = _batch_rows()
+        for i in range(CORPUS_DROPS):
+            wavfile.write(os.path.join(CORPUS_DIR, f"drop{i:03d}.wav"),
+                          44100, batch[i])
+    paths = sorted(glob.glob(os.path.join(CORPUS_DIR, "*.wav")))
+
+    out = os.path.join(tempfile.gettempdir(), "bench_corpus_out")
+    shutil.rmtree(out, ignore_errors=True)
+    manifest = reprocess_corpus(paths, out, batch_size=BATCH_SUB,
+                                resume=False)  # warmup + compile
+    done = sum(1 for v in manifest["files"].values() if v["status"] == "done")
+    assert done == CORPUS_DROPS, f"corpus warmup: {done}/{CORPUS_DROPS}"
+
+    times = []
+    for _ in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        reprocess_corpus(paths, out, batch_size=BATCH_SUB, resume=False)
+        times.append(time.perf_counter() - t0)
+    print(f"WALL {min(times):.6f} FRAMES {done}")
 
 
 def _run_child(mode: str, timeout: float = 2400.0):
@@ -177,12 +252,15 @@ def main():
             child_single("int4")
         elif mode == "batch":
             child_batch()
+        elif mode == "corpus":
+            child_corpus()
         else:
             raise SystemExit(f"unknown child mode {mode}")
         return
 
     smoke = pallas_smoke()
     _write_drop()
+    _parity_frames()  # correctness reference for the timed children
 
     wall = _run_child("single_int8")
     rtf = DURATION / wall
@@ -195,6 +273,12 @@ def main():
     batch_wall = _run_child("batch")
     batch_rtf = BATCH_DROPS * BATCH_SECONDS / batch_wall
 
+    try:
+        corpus_wall = _run_child("corpus")
+        corpus_rtf = round(CORPUS_DROPS * BATCH_SECONDS / corpus_wall, 1)
+    except Exception:
+        corpus_wall, corpus_rtf = None, None
+
     print(json.dumps({
         "metric": "decode_realtime_factor",
         "value": round(rtf, 1),
@@ -205,6 +289,8 @@ def main():
         "batch_rtf": round(batch_rtf, 1),
         "batch_drops": BATCH_DROPS,
         "batch_wall_s": round(batch_wall, 3),
+        "corpus_rtf": corpus_rtf,
+        "corpus_drops": CORPUS_DROPS,
         "pallas_smoke": bool(smoke),
     }))
 

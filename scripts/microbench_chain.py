@@ -81,6 +81,21 @@ def main():
             j, jnp.asarray(0, jnp.int32), max_edges)[:1]), j)
     print(f"chain_enumerate M={M} k={max_edges}: {t3*1e3:.1f} ms")
 
+    # gather-free strided variant (shifted-select delta doubling), over a
+    # max_level sweep: higher levels buy shorter scan tails with more
+    # shifted-select passes
+    t3b = timeit(
+        jax.jit(lambda j: chain_ops.chain_enumerate(
+            j, jnp.asarray(0, jnp.int32), max_edges)[-1:]), j)
+    print(f"chain_enumerate (tail-dependent fetch): {t3b*1e3:.1f} ms")
+    for lvl in (6, 7, 8, 9):
+        t5 = timeit(
+            jax.jit(lambda j, lv=lvl: chain_ops.chain_enumerate_strided(
+                j, jnp.asarray(0, jnp.int32), max_edges,
+                max_level=lv)[-1:]), j)
+        print(f"chain_enumerate_strided L={lvl} M={M} k={max_edges}: "
+              f"{t5*1e3:.1f} ms")
+
     # frame sync at engine scale (accept-compacted domain)
     M2 = 600_000
     accept = rng.random(M2) < 0.04

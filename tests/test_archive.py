@@ -59,6 +59,27 @@ def test_cli_corpus_mode(corpus, tmp_path):
     assert len(os.listdir(out)) == 4  # 3 reports + manifest
 
 
+def test_cli_corpus_wire_and_diagnostics(corpus, tmp_path):
+    """--corpus must honor --wire and --diagnostics: the resolved wire
+    reaches dispatch_batch (recorded per file in the manifest) and the
+    reports carry the diagnostics columns + wire attribution."""
+    from axctdprocessor_tpu import cli
+
+    out = str(tmp_path / "cli_wire_out")
+    rc = cli.main(["--corpus", os.path.dirname(corpus[0]), "-o", out,
+                   "--batch-size", "2", "--quiet", "--wire", "int4",
+                   "--diagnostics"])
+    assert rc == 0
+    manifest = json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["files"], "corpus produced no manifest entries"
+    for name, entry in manifest["files"].items():
+        assert entry.get("wire") == "int4", name
+    text = open(os.path.join(out, "drop0.txt")).read()
+    assert "Wire format: int4" in text
+    assert ", R400, dR7500" in text
+    assert "Probe Serial: 00123456" in text  # int4 decode still correct
+
+
 def test_stage_timer():
     import time as _t
 

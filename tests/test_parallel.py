@@ -130,6 +130,25 @@ def test_timeshard_int16_device_conditioning(default_drop_wav):
     np.testing.assert_array_equal(res_raw.temperature, res_f32.temperature)
 
 
+def test_timeshard_long_file():
+    """SP exists for the longest files: a >300 s drop through the
+    dp1 x sp8 front end (overlap-save FFT filtering per block — the
+    associative-scan IIR was a compile-time trap at exactly this scale,
+    tpu_engine.stage1_core's documented hazard) must decode correctly."""
+    spec = simulator.SimSpec(duration=310.0, profile_start=33.0, seed=78)
+    pcm, truth = simulator.synthesize(spec)
+    x = ((pcm - np.mean(pcm)) / np.max(np.abs(pcm))).astype(np.float32)
+    mesh = make_mesh({"dp": 1, "sp": 8})
+    res = timeshard.decode_batch_timesharded(x[None, :], 44100.0,
+                                             mesh=mesh)[0]
+    assert res.status == 2
+    assert res.metadata["serial_no"] == truth["serial_no"]
+    assert res.overflow == 0
+    n_expect = (310.0 - 33.0) * 25  # 25 frames/s of profile
+    assert len(res.time) > 0.9 * n_expect
+    assert res.time[-1] - res.time[0] > 0.9 * (310.0 - 33.0)
+
+
 def test_timeshard_low_fs_crossing_capacity():
     """Duration-based crossing capacity: a 16 kHz drop must decode the
     same time-sharded as single-device (a sample-count bound alone

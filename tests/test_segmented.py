@@ -106,6 +106,44 @@ def test_bucket_count():
         assert b >= k and b <= max(int(np.ceil(k * 1.25)), k + 1)
 
 
+def test_auto_route_over_300s_matches_parity():
+    """The auto-segment route (decode_waveform_tpu, files > 300 s) is the
+    path every real ~10-min drop takes; exercise it end-to-end at 310 s
+    against the byte-exact parity engine with bounded frame/value drift
+    (the engines differ by documented chunk-semantics deviations only)."""
+    from axctdprocessor_tpu.models.parity_engine import decode_waveform
+
+    spec = simulator.SimSpec(duration=310.0, profile_start=33.0, seed=77)
+    pcm, truth = simulator.synthesize(spec)
+    x = _conditioned(pcm)
+
+    tpu = decode_waveform_tpu(x, 44100)          # auto-routes: > 300 s
+    host = decode_waveform(x.astype(np.float64), 44100)
+
+    assert tpu.status == host.status == 2
+    assert tpu.metadata["serial_no"] == host.metadata["serial_no"] \
+        == truth["serial_no"]
+    assert tpu.metadata == host.metadata
+    assert tpu.firstpulse400 == host.firstpulse400
+    assert tpu.overflow == 0
+    # demod/frame-sync agreement: near-perfect at full scale (measured
+    # 1.0 on this drop; leave headroom for float jitter)
+    a, b = set(tpu.hexframes), set(host.hexframes)
+    assert len(a & b) / max(len(a | b), 1) > 0.99
+    # QC'd row counts drift more (per-bit r-value tagging differs by the
+    # documented uniform-grid-vs-chunk-local deviation, flipping rows
+    # that straddle the thresholds) — bound it loosely
+    assert abs(len(tpu.time) - len(host.time)) < 0.10 * len(host.time)
+    # values joined BY FRAME must match exactly: temperature depends only
+    # on the frame bits + decoded coefficients (both engines round to 2)
+    t_tpu = {h: t for h, t in zip(tpu.hexframes_qc, tpu.temperature)}
+    t_host = {h: t for h, t in zip(host.hexframes_qc, host.temperature)}
+    common = set(t_tpu) & set(t_host)
+    assert len(common) > 5000
+    diffs = [abs(t_tpu[h] - t_host[h]) for h in common]
+    assert np.median(diffs) < 0.011 and np.mean(diffs) < 0.02
+
+
 def test_segmented_highrate_no_bogus_timeout():
     """Decim2 regression: the assemble/back half must see the DECODE-rate
     valid length.  A raw-rate count doubles the apparent grid, which let

@@ -92,3 +92,72 @@ def test_checkpoint_resume(default_drop_wav, tmp_path):
     np.testing.assert_array_equal(np.asarray(res.time), np.asarray(expected.time))
     np.testing.assert_array_equal(
         np.asarray(res.salinity), np.asarray(expected.salinity))
+
+
+# ---------------------------------------------------------------------------
+# TPU-native streaming (models.stream_tpu): push API over the segmented
+# engine — fed piecewise, the finalized result must be IDENTICAL to the
+# offline segmented decode of the concatenated stream.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def stream_drop130():
+    from axctdprocessor_tpu.models import simulator
+
+    spec = simulator.SimSpec(duration=130.0, profile_start=33.0, seed=91)
+    pcm, truth = simulator.synthesize(spec)
+    x = ((pcm - np.mean(pcm)) / np.max(np.abs(pcm))).astype(np.float32)
+    return x, truth
+
+
+def test_tpu_stream_equals_offline_segmented(stream_drop130):
+    from axctdprocessor_tpu.models import segmented
+    from axctdprocessor_tpu.models.stream_tpu import TPUStreamDecoder
+
+    x, truth = stream_drop130
+    offline = segmented.decode_waveform_segmented(x, 44100)
+
+    dec = TPUStreamDecoder(44100)
+    step = int(2.0 * 44100)  # ~2 s receiver blocks
+    for i in range(0, len(x), step):
+        dec.feed(x[i:i + step])
+    res = dec.finalize()
+
+    assert res.status == offline.status == 2
+    assert res.metadata == offline.metadata
+    assert res.hexframes == offline.hexframes
+    assert res.time == offline.time
+    assert res.temperature == offline.temperature
+    assert res.salinity == offline.salinity
+    assert res.firstpulse400 == offline.firstpulse400
+    assert res.profstartind == offline.profstartind
+    assert res.numpoints == offline.numpoints
+    assert res.metadata["serial_no"] == truth["serial_no"]
+
+
+def test_tpu_stream_incremental_results(stream_drop130):
+    """Rows become available as segments complete, and grow monotonically
+    toward the final decode."""
+    from axctdprocessor_tpu.models.stream_tpu import TPUStreamDecoder
+
+    x, truth = stream_drop130
+    dec = TPUStreamDecoder(44100)
+    step = int(2.0 * 44100)
+    rows_at = []
+    for i in range(0, len(x), step):
+        n_seg = dec.feed(x[i:i + step])
+        # poll a snapshot when a new segment lands (coarse UI rate)
+        if rows_at and n_seg == rows_at[-1][0]:
+            continue
+        snap = dec.results()
+        rows_at.append((n_seg, len(snap.time)))
+    final = dec.finalize()
+    counts = [r for _, r in rows_at]
+    assert counts == sorted(counts), "rows must grow monotonically"
+    assert counts[-1] > 0, "rows must appear before end of stream"
+    assert len(final.time) >= counts[-1]
+    assert final.metadata["serial_no"] == truth["serial_no"]
+    # feeding after finalize is an error (stream contract)
+    with pytest.raises(RuntimeError):
+        dec.feed(x[:10])

@@ -248,6 +248,40 @@ def test_trigger_core_matches_host(rng):
             assert abs(float(mean) - host[1]) < 1e-5, trial
 
 
+def test_trigger_timeout_truncation_boundary():
+    """Non-integer tr1*fs: the timeout reach test truncates (reference
+    AXCTDprocessor.py:404-405 uses int(fs*tr1) for both the reach and
+    the offset).  The last real window sits exactly at
+    firstpulse + int(tr1*fs), so truncation-vs-ceil semantics decide
+    whether the timeout fires — a ceil'd reach fires one window late."""
+    import jax.numpy as jnp
+    from axctdprocessor_tpu.models import tpu_engine as eng
+    from axctdprocessor_tpu.utils.config import DecoderConfig
+
+    fs = 44100.0
+    d_pcm = int(round(fs / 25))
+    n_power = int(fs / 10)
+    k = 40
+    n_win = k + 1                       # windows 0..k; last_rel = k*d_pcm
+    r400 = np.full(n_win, 3.0)          # pulse at window 0
+    r7500 = np.full(n_win, np.nan)      # no baseline -> timeout path
+    tr1 = (k * d_pcm + 0.5) / fs        # int(tr1*fs) == k*d_pcm, non-integer
+    cfg = DecoderConfig(trigger_range=(0.0, tr1))
+    n = n_power + d_pcm * n_win
+    host = eng.trigger_scalars(r400, r7500, cfg, fs, d_pcm, n_valid=n)
+    assert host[0] == 0
+    assert host[2] == k * d_pcm, "timeout must fire at the int() boundary"
+
+    dims = eng.EngineDims.for_waveform(n, fs, 800, 39)
+    trig_i, trig_f = eng.trigger_tables(cfg, fs)
+    fp, _, prof = eng.trigger_core(
+        jnp.asarray(r400, jnp.float32), jnp.asarray(r7500, jnp.float32),
+        jnp.asarray(n, jnp.int32), jnp.asarray(trig_i),
+        jnp.asarray(trig_f), dims, fs)
+    assert int(fp) == host[0]
+    assert int(prof) == host[2]
+
+
 def test_highrate_device_decimation(tmp_path):
     """An 88.2 kHz int16 WAV decodes through the raw device path
     (conditioning + zero-phase decimation on device) and matches the

@@ -108,10 +108,11 @@ def test_frame_sync_accept_overflow_degrades_gracefully():
     n = 4096
     accept = np.zeros(n, bool)
     accept[::2] = True  # far denser than the n/16 capacity
-    starts, n_frames, _ = chain.enumerate_frames(
+    starts, n_frames, _, overflow = chain.enumerate_frames(
         jnp.asarray(accept), n, max_steps=n, max_frames=256)
     got = np.asarray(starts[: int(n_frames)])
     assert int(n_frames) > 0
+    assert int(overflow) & 1  # the truncation is signalled, not silent
     assert np.all(np.diff(got) >= 32)
     # prefix matches the host walk
     s, ref = 0, []
@@ -136,10 +137,11 @@ def test_frame_sync_chain_matches_host(rng):
                 s += 32
             else:
                 s += 1
-        starts, n_frames, consumed = chain.enumerate_frames(
+        starts, n_frames, consumed, overflow = chain.enumerate_frames(
             jnp.asarray(accept), n, max_steps=n, max_frames=256
         )
         assert int(consumed) == s, trial
+        assert int(overflow) == 0, trial  # clean walk signals no overflow
         assert int(n_frames) == len(starts_ref)
         np.testing.assert_array_equal(
             np.asarray(starts[: len(starts_ref)]), starts_ref
