@@ -301,8 +301,9 @@ def stage15_core(s1, s2, edge_samples, n_edges, h_bounds, calib_cut,
 
     def window(lo, hi):
         sel = bit_valid & (edge_samples >= lo) & (edge_samples <= hi)
-        pos, = jnp.where(sel, size=HEADER_WINDOW_BITS, fill_value=me - 1)
-        return bits[pos], jnp.sum(sel.astype(jnp.int32))
+        pos, n_sel = chain_ops.compact_indices(
+            sel, HEADER_WINDOW_BITS, me - 1)
+        return bits[pos], n_sel
 
     h2_bits, h2_n = window(h_bounds[2], h_bounds[3])
     h3_bits, h3_n = window(h_bounds[4], h_bounds[5])

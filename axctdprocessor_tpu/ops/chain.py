@@ -41,9 +41,17 @@ def compact_indices(mask: jnp.ndarray, size: int, fill: int):
     """Indices of True entries, compacted into a fixed-size buffer.
 
     Equivalent to ``jnp.where(mask, size=size, fill_value=fill)`` but
-    lowered as cumsum + scatter, which measures ~40% faster on TPU than
-    the stock bounded-nonzero lowering at waveform sizes.  Returns
-    (indices int32[size], true_count).
+    lowered as cumsum + scatter (3 ops), which measures ~40% faster on
+    TPU than the stock bounded-nonzero lowering at waveform sizes.
+    Returns (indices int32[size], true_count — may exceed `size`, the
+    caller's overflow signal).
+
+    A scatter-free two-level form (``compact_indices_blocked``: 128-lane
+    barrel-shift block compaction + offset stitch) was A/B'd on chip and
+    LOST (36.9 vs 32.3 ms at segment scale): XLA's fixed ~0.5-1 ms
+    per-kernel cost at these sizes makes any multi-pass formulation
+    slower than the 3-op scatter.  Kept below as the recorded negative
+    result; a fused Pallas kernel is the only route past the scatter.
     """
     n = mask.shape[0]
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
@@ -51,6 +59,79 @@ def compact_indices(mask: jnp.ndarray, size: int, fill: int):
     out = jnp.full((size + 1,), fill, jnp.int32).at[slot].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop")
     return out[:size], pos[-1] + 1
+
+
+def _block_compact_rows(m: jnp.ndarray):
+    """Stable within-row compaction of a (n_blk, B) boolean mask's set
+    LANE indices to the row front, via an LSB-first barrel shift.
+
+    Each set lane must move left by ``dist = lane - rank`` (the count of
+    unset lanes before it), which is non-decreasing along the row — the
+    classic SIMD stream-compaction invariant that makes the log2(B)
+    power-of-two shift rounds collision-free.  All operations are
+    element-wise + lane rolls (sequential memory traffic only).
+
+    Returns (lanes int32 (n_blk, B) — set-lane indices packed at the row
+    front, garbage beyond the row count; counts int32 (n_blk,)).
+    """
+    n_blk, b_sz = m.shape
+    v = m > 0
+    lane = jnp.arange(b_sz, dtype=jnp.int32)[None, :]
+    pos = jnp.cumsum(m.astype(jnp.int32), axis=1) - 1   # rank within row
+    counts = pos[:, -1] + 1
+    dist = jnp.where(v, lane - pos, 0)                  # left-shift amount
+    val = jnp.broadcast_to(lane, m.shape)
+    step = 1
+    while step < b_sz:
+        move = v & ((dist & step) > 0)
+        # incoming occupant from lane+step (no row wrap-around)
+        can_recv = lane < b_sz - step
+        val_in = jnp.roll(val, -step, axis=1)
+        dist_in = jnp.roll(dist, -step, axis=1)
+        move_in = jnp.roll(move, -step, axis=1) & can_recv
+        stay = v & ~move
+        val = jnp.where(move_in, val_in, val)
+        dist = jnp.where(move_in, dist_in - step, dist)
+        v = move_in | stay
+        step *= 2
+    return val, counts
+
+
+def compact_indices_blocked(mask: jnp.ndarray, size: int, fill: int):
+    """Scatter-free compaction (negative result — see compact_indices).
+
+    Two levels: 128-lane blocks compact locally with a barrel shift
+    (element-wise + lane rolls — sequential HBM traffic), then the
+    global result is stitched from per-block offsets with one
+    size-bounded gather.  Measured SLOWER than the 3-op scatter on chip
+    (kernel-count-bound); kept only for A/B in microbench_chain.py.
+    """
+    n = mask.shape[0]
+    B = 128
+    n_blk = -(-n // B)
+    m = mask
+    if n_blk * B != n:
+        m = jnp.concatenate(
+            [m, jnp.zeros((n_blk * B - n,), dtype=m.dtype)])
+    m = m.reshape(n_blk, B)
+    lanes, counts = _block_compact_rows(m)
+    coff = jnp.cumsum(counts) - counts              # exclusive offsets
+    total = coff[-1] + counts[-1]
+    base = jnp.arange(n_blk, dtype=jnp.int32) * B   # block -> global
+
+    # block map for each output slot j WITHOUT a searchsorted (its
+    # binary-search gathers cost more than the compaction): scatter one
+    # mark per block start into a size-length array and prefix-sum —
+    # b(j) = (#blocks with coff <= j) - 1, sequential traffic only
+    marks = jnp.zeros((size + 1,), jnp.int32).at[
+        jnp.minimum(coff, size)].add(1, mode="drop")
+    b = jnp.cumsum(marks[:size]) - 1
+    b = jnp.clip(b, 0, n_blk - 1)
+    j = jnp.arange(size, dtype=jnp.int32)
+    r = jnp.clip(j - coff[b], 0, B - 1)
+    vals = lanes.reshape(-1)[b * B + r] + base[b]
+    out = jnp.where(j < jnp.minimum(total, size), vals, fill)
+    return out, total
 
 
 def chain_enumerate(next_idx: jnp.ndarray, start, length: int,

@@ -72,12 +72,28 @@ def main():
         sm = [iir.boxsmooth_lag(p[:, i], 5) for i in range(3)]
         return jnp.log10(sm[0] / sm[2]), jnp.log10(sm[1] / sm[2])
 
-    def merge(g):
-        gg = g.reshape(-1)
-        slots, n_cross = chain_ops.compact_indices(gg < BIG, total, total)
-        safe = jnp.clip(slots, 0, total - 1)
-        g_s = jnp.where(slots < total, gg[safe], BIG)
-        return g_s, safe, n_cross
+    cnt_host = np.asarray((gpos < BIG).sum(axis=1), np.int32)
+    cnt_d = jnp.asarray(cnt_host)
+
+    def merge(g, q1, q2):
+        # production ragged-concatenation merge (segmented._assemble_program)
+        from jax import lax
+
+        k_seg_, c_seg_ = g.shape
+        m = k_seg_ * c_seg_
+        cnts = jnp.minimum(cnt_d, c_seg_)
+        coff = jnp.cumsum(cnts) - cnts
+        n_cross = coff[-1] + cnts[-1]
+        buf_g = jnp.full((m,), BIG, jnp.int32)
+        buf_p1 = jnp.zeros((m,), q1.dtype)
+        buf_p2 = jnp.zeros((m,), q2.dtype)
+        for k in range(k_seg_):
+            at = (coff[k],)
+            buf_g = lax.dynamic_update_slice(buf_g, g[k], at)
+            buf_p1 = lax.dynamic_update_slice(buf_p1, q1[k], at)
+            buf_p2 = lax.dynamic_update_slice(buf_p2, q2[k], at)
+        g_s = jnp.where(jnp.arange(m) < n_cross, buf_g, BIG)
+        return g_s, buf_p1, buf_p2, n_cross
 
     # every stage's FULL output folds into the scalar via sums, so XLA
     # cannot dead-code-eliminate the work behind a [0] index
@@ -85,13 +101,12 @@ def main():
         return sum(jnp.sum(a.astype(jnp.float32)) for a in arrs)
 
     a = jax.jit(lambda pwr: force(*smooth(pwr)))
-    b = jax.jit(lambda pwr, g: force(*smooth(pwr), merge(g)[0]))
+    b = jax.jit(lambda pwr, g, q1, q2: force(*smooth(pwr),
+                                             merge(g, q1, q2)[0]))
 
     def upto_probes(pwr, g, q1, q2):
         r400, r7500 = smooth(pwr)
-        g_s, safe, n_cross = merge(g)
-        q1s = q1.reshape(-1)[safe]
-        q2s = q2.reshape(-1)[safe]
+        g_s, q1s, q2s, n_cross = merge(g, q1, q2)
         return force(r400, r7500, g_s, q1s, q2s), \
             (r400, r7500, g_s, q1s, q2s, n_cross)
 
@@ -121,14 +136,14 @@ def main():
 
     base = timeit(jax.jit(lambda pwr: pwr[0, 0, 0]), pw)
     ta = timeit(a, pw)
-    tb = timeit(b, pw, gp)
+    tb = timeit(b, pw, gp, p1d, p2d)
     tc = timeit(c, pw, gp, p1d, p2d)
     td = timeit(d, pw, gp, p1d, p2d)
     te = timeit(e, pw, gp, p1d, p2d)
     print(f"dispatch overhead:      {base*1e3:6.1f} ms")
     print(f"power smoothing:        {(ta-base)*1e3:6.1f} ms")
-    print(f"+ crossing merge:       {(tb-ta)*1e3:6.1f} ms")
-    print(f"+ probe re-gathers:     {(tc-tb)*1e3:6.1f} ms")
+    print(f"+ ragged merge (g+p):   {(tb-ta)*1e3:6.1f} ms")
+    print(f"+ (merge force delta):  {(tc-tb)*1e3:6.1f} ms")
     print(f"+ bit-edge chain:       {(td-tc)*1e3:6.1f} ms")
     print(f"+ back half:            {(te-td)*1e3:6.1f} ms")
     print(f"total (~assemble):      {(te-base)*1e3:6.1f} ms")

@@ -96,6 +96,27 @@ def main():
         print(f"chain_enumerate_strided L={lvl} M={M} k={max_edges}: "
               f"{t5*1e3:.1f} ms")
 
+    # stream compaction A/B: scatter (round 2) vs blocked one-hot+stitch
+    for n, dens, label in ((1_038_996, 0.038, "segment-sparse"),
+                           (1_986_208, 0.55, "merge-dense-front")):
+        if label.endswith("front"):
+            mk = np.zeros(n, bool)
+            # front-loaded runs like the assemble merge sees
+            for s in range(0, n, 70936):
+                mk[s: s + 38000] = True
+        else:
+            mk = rng.random(n) < dens
+        size = max(int(n * 0.07), 70936) if dens < 0.5 else n
+        mkd = jnp.asarray(mk)
+        ts = timeit(jax.jit(
+            lambda m, s=size: chain_ops.compact_indices(
+                m, s, 2**30)[0][-1:]), mkd)
+        tb = timeit(jax.jit(
+            lambda m, s=size: chain_ops.compact_indices_blocked(
+                m, s, 2**30)[0][-1:]), mkd)
+        print(f"compact {label} n={n} size={size}: "
+              f"scatter {ts*1e3:.1f} ms, blocked {tb*1e3:.1f} ms")
+
     # frame sync at engine scale (accept-compacted domain)
     M2 = 600_000
     accept = rng.random(M2) < 0.04

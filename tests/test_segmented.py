@@ -136,10 +136,14 @@ def test_auto_route_over_300s_matches_parity():
     assert abs(len(tpu.time) - len(host.time)) < 0.10 * len(host.time)
     # values joined BY FRAME must match exactly: temperature depends only
     # on the frame bits + decoded coefficients (both engines round to 2)
+    # frames repeat heavily (profile values plateau: ~1750 unique among
+    # ~6500 rows), so the frame-keyed join is over UNIQUE frames; nearly
+    # all of the host's QC'd frames must appear on the TPU side
+    # (measured: 1497 common of host's 1509 unique)
     t_tpu = {h: t for h, t in zip(tpu.hexframes_qc, tpu.temperature)}
     t_host = {h: t for h, t in zip(host.hexframes_qc, host.temperature)}
     common = set(t_tpu) & set(t_host)
-    assert len(common) > 5000
+    assert len(common) > 0.95 * len(set(host.hexframes_qc)) > 1000
     diffs = [abs(t_tpu[h] - t_host[h]) for h in common]
     assert np.median(diffs) < 0.011 and np.mean(diffs) < 0.02
 
