@@ -131,13 +131,15 @@ def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
         is_c = sgn[:seg_len] != sgn[1 : seg_len + 1]
         gpos_blk = jnp.arange(seg_len) + k_off
         is_c &= (gpos_blk >= edge_pad) & (gpos_blk < nv_dec - 1)
-        pos, cnt = chain_ops.compact_indices(is_c, c_seg, BIG)
+        pos, cnt, rovf = chain_ops.compact_indices_rowcap(is_c, c_seg, BIG)
         probes = goertzel.tone_power_at(
             fbody, jnp.clip(pos, 0, seg_len - 1) + bit_inset, npcm, btrig)
         gpos = jnp.where(pos < BIG, pos + k_off, BIG).astype(jnp.int32)
         # the true crossing count: the assemble program needs it for the
-        # ragged merge (> c_seg signals truncation there)
-        return powers, gpos, probes[:, 0], probes[:, 1], cnt
+        # ragged merge (> c_seg signals truncation there; rovf flags a
+        # row-cap truncation — a 128-sample run denser than the filter's
+        # Rice bound — whose entries are missing even when cnt <= c_seg)
+        return powers, gpos, probes[:, 0], probes[:, 1], cnt, rovf
 
     return jax.jit(run)
 
@@ -148,8 +150,8 @@ def _assemble_program(n_seg: int, dims, fs: float, bitrate: float):
     bit-edge chain, and hand off to the fused device back half."""
     from jax import lax
 
-    def run(powers, gpos, p1, p2, cnt_seg, n_valid, trig_i, trig_f, hdr_rel,
-            calib_off, coeff_defaults, temp_lut, limits):
+    def run(powers, gpos, p1, p2, cnt_seg, rovf_seg, n_valid, trig_i,
+            trig_f, hdr_rel, calib_off, coeff_defaults, temp_lut, limits):
         # powers: (n_seg, strides, F) -> global smoothed ratios
         p = powers.reshape(-1, powers.shape[-1])
         sm = [iir.boxsmooth_lag(p[:, i], 5) for i in range(3)]
@@ -182,7 +184,8 @@ def _assemble_program(n_seg: int, dims, fs: float, bitrate: float):
         edge_idx, n_edges = chain_ops.enumerate_bit_edges(
             g_s, n_cross, fs, bitrate, dims.max_edges)
         safe = jnp.clip(edge_idx, 0, m - 1)
-        ovf0 = jnp.max((cnt_seg > c_seg).astype(jnp.int32))
+        ovf0 = jnp.max((cnt_seg > c_seg).astype(jnp.int32)
+                       | rovf_seg.astype(jnp.int32))
         return eng.back_half_core(
             r400, r7500, g_s[safe], n_edges,
             buf_p1[safe], buf_p2[safe],
@@ -323,7 +326,7 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
     assemble = _assemble_program(n_seg_pad, dims, fs, float(cfg.bitrate))
     params = eng.fused_inputs(cfg, fs)
     out = assemble(gather(0), gather(1), gather(2), gather(3), gather(4),
-                   nv_dec, params["trig_i"], params["trig_f"],
+                   gather(5), nv_dec, params["trig_i"], params["trig_f"],
                    params["hdr_rel"],
                    params["calib_off"], params["coeff_defaults"],
                    params["temp_lut"], params["limits"])

@@ -162,7 +162,7 @@ class TPUStreamDecoder:
                                          float(cfg.bitrate))
         params = eng.fused_inputs(cfg, self.fs)
         out = assemble(gather(0), gather(1), gather(2), gather(3), gather(4),
-                       jnp.asarray(nv_dec, jnp.int32),
+                       gather(5), jnp.asarray(nv_dec, jnp.int32),
                        params["trig_i"], params["trig_f"], params["hdr_rel"],
                        params["calib_off"], params["coeff_defaults"],
                        params["temp_lut"], params["limits"])

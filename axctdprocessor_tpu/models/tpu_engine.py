@@ -223,7 +223,7 @@ def stage1_core(pcm, power_trig, sos_arr, bit_trig,
         # there would otherwise demodulate into garbage frames)
         is_cross &= jnp.arange(dims.n) < n_valid - 1
     big = np.iinfo(np.int32).max // 2
-    crossings, n_cross = chain_ops.compact_indices(
+    crossings, n_cross, rovf = chain_ops.compact_indices_rowcap(
         is_cross, dims.max_crossings, big)
 
     edge_idx, n_edges = chain_ops.enumerate_bit_edges(
@@ -235,7 +235,7 @@ def stage1_core(pcm, power_trig, sos_arr, bit_trig,
         filtered, edge_samples + bit_inset, dims.npcm, bit_trig)
     # truncation indicator: crossings past the Rice-rate capacity were
     # dropped (graceful, but a clipped decode must be distinguishable)
-    overflow = (n_cross > dims.max_crossings).astype(jnp.int32)
+    overflow = (n_cross > dims.max_crossings).astype(jnp.int32) | rovf
     return dict(r400=r400, r7500=r7500, edge_samples=edge_samples,
                 n_edges=n_edges, s1=probes[:, 0], s2=probes[:, 1],
                 overflow=overflow)
@@ -272,11 +272,33 @@ def stage15_core(s1, s2, edge_samples, n_edges, h_bounds, calib_cut,
     scale0 = jnp.float32(1.5)
     conf0 = s2 * scale0 / jnp.maximum(s1, 1e-30)
 
-    in_h1 = bit_valid & (edge_samples >= h_bounds[0]) & (edge_samples <= h_bounds[1])
-    n_h1 = jnp.sum(in_h1.astype(jnp.int32))
+    # edge_samples is non-decreasing (ascending while valid, then the
+    # repeated terminal value), so every capture window is a CONTIGUOUS
+    # run of edges: two binary searches + a fixed-size dynamic slice
+    # replace full-length (max_edges) mask compactions and histogram
+    # scatters — the previous form was ~14 ms of the back half at 600 s
+    # scale, almost all of it scatter traffic over the 660k domain.
+    def window_span(lo, hi):
+        lo_i = jnp.searchsorted(edge_samples, lo, side="left")
+        hi_i = jnp.searchsorted(edge_samples, hi, side="right")
+        lo_i = jnp.minimum(lo_i, jnp.maximum(n_edges - 1, 0))
+        hi_i = jnp.minimum(hi_i, jnp.maximum(n_edges - 1, 0))
+        n_sel = jnp.maximum(hi_i - lo_i, 0)  # empty/inverted window -> 0
+        return lo_i.astype(jnp.int32), n_sel.astype(jnp.int32)
 
-    # histogram of confidences on [0, 3) in 0.01 bins (299 bins)
-    vals = jnp.where(in_h1, conf0, -1.0)
+    h1_lo, n_h1 = window_span(h_bounds[0], h_bounds[1])
+    wloc = jnp.arange(HEADER_WINDOW_BITS)
+    # zero-pad the sliced arrays so dynamic_slice never clamps the start
+    # (a window beginning in the last HEADER_WINDOW_BITS edges would
+    # otherwise be silently shifted); the mask handles the tail
+    conf0_ext = jnp.concatenate(
+        [conf0, jnp.zeros((HEADER_WINDOW_BITS,), conf0.dtype)])
+
+    # histogram of confidences on [0, 3) in 0.01 bins (299 bins),
+    # over the h1 window only (its span is ~1600 bits)
+    vals = jnp.where(wloc < n_h1,
+                     jax.lax.dynamic_slice(conf0_ext, (h1_lo,),
+                                       (HEADER_WINDOW_BITS,)), -1.0)
     bin_idx = jnp.floor(vals * 100.0).astype(jnp.int32)
     in_range = (bin_idx >= 0) & (bin_idx < 299)
     counts = jnp.zeros((300,), jnp.int32).at[
@@ -299,11 +321,13 @@ def stage15_core(s1, s2, edge_samples, n_edges, h_bounds, calib_cut,
     eff = jnp.where(edge_samples <= calib_cut, scale0, scale_new)
     bits = ((s1 >= s2 * eff) & bit_valid).astype(jnp.int32)
 
+    bits_ext = jnp.concatenate(
+        [bits, jnp.zeros((HEADER_WINDOW_BITS,), bits.dtype)])
+
     def window(lo, hi):
-        sel = bit_valid & (edge_samples >= lo) & (edge_samples <= hi)
-        pos, n_sel = chain_ops.compact_indices(
-            sel, HEADER_WINDOW_BITS, me - 1)
-        return bits[pos], n_sel
+        lo_i, n_sel = window_span(lo, hi)
+        w = jax.lax.dynamic_slice(bits_ext, (lo_i,), (HEADER_WINDOW_BITS,))
+        return jnp.where(wloc < n_sel, w, 0), n_sel
 
     h2_bits, h2_n = window(h_bounds[2], h_bounds[3])
     h3_bits, h3_n = window(h_bounds[4], h_bounds[5])
@@ -357,15 +381,21 @@ def stage2_core(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
     starts, n_frames, consumed, sync_ovf = chain_ops.enumerate_frames(
         accept, n_prof, max_steps=me, max_frames=dims.max_frames)
 
-    # 3. frame fields
-    fwin = bits_p[starts[:, None] + jnp.arange(32)[None, :]]
-    w12 = jnp.asarray(1 << np.arange(11, -1, -1), jnp.int32)
-    cint = jnp.sum(fwin[:, 2:14] * w12, axis=1)
-    tint = jnp.sum(fwin[:, 14:26] * w12, axis=1)
+    # 3. frame fields — the 32-bit frame word at EVERY bit offset first
+    # (32 shifted adds over the bit stream: one fused elementwise pass,
+    # sequential HBM traffic), then one small gather at the frame
+    # starts.  This replaces a (max_frames, 32) random gather — 660k
+    # gathered elements, ~4 ms of the back half at 600 s scale — with
+    # ~0.5 ms of streaming adds.
+    bext32 = jnp.concatenate(
+        [bits_p.astype(jnp.uint32), jnp.zeros((32,), jnp.uint32)])
+    word = jnp.zeros((me,), jnp.uint32)
+    for k in range(32):  # Horner: word[i] = sum_k bits_p[i+k] << (31-k)
+        word = (word << 1) | bext32[k : k + me]
     # frame hex ships as one packed uint32 per frame (host formats %08x)
-    w32 = jnp.asarray(
-        [np.uint32(1) << np.uint32(31 - k) for k in range(32)], jnp.uint32)
-    hexpack = jnp.sum(fwin.astype(jnp.uint32) * w32, axis=1, dtype=jnp.uint32)
+    hexpack = word[starts]
+    cint = ((hexpack >> 18) & 0xFFF).astype(jnp.int32)   # frame bits 2:14
+    tint = ((hexpack >> 6) & 0xFFF).astype(jnp.int32)    # frame bits 14:26
 
     times_raw = (edges_p[starts] - profstart) / fs
     frame_valid = jnp.arange(dims.max_frames) < n_frames
@@ -531,24 +561,46 @@ def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
     ovf |= (n_edges >= dims.max_edges).astype(jnp.int32) << 1
     ovf |= out["overflow"]
 
-    # the result tree is packed into FIVE arrays: device->host transfers
-    # over the relay cost ~10 ms latency per leaf regardless of size, so
-    # a 20-leaf tree would spend more wall time on leaf latency than on
-    # the actual bytes (measured: 21 leaves 0.30 s vs 1 leaf 0.08 s for
-    # the same 1.6 MB)
-    rows = jnp.stack([out["times"], out["depth"], out["temp"], out["cond"],
-                      out["psal"], out["r400"], out["r7500"],
-                      good.astype(jnp.float32),
-                      frame_valid.astype(jnp.float32)])
+    # the whole result tree packs into ONE int32 vector: device->host
+    # transfers over the relay cost ~10 ms latency per leaf regardless
+    # of size (measured: 21 leaves 0.30 s vs 1 leaf 0.08 s for the same
+    # 1.6 MB), and every profile value is 2-decimal by contract, so the
+    # five small-range row fields ship as int16 centi-units (NaN ->
+    # -32768 sentinel) and times/depth as int32 centi-units — exact
+    # after the device's own round(x, 2), at 40% of the float32 bytes.
     hdr = jnp.concatenate([
         h2_found.astype(jnp.int32), h3_found.astype(jnp.int32),
         h2_frames.reshape(-1), h3_frames.reshape(-1)])
     scal_i = jnp.stack([fp, profstart, jnp.where(gate, out["n_frames"], 0),
                         h2_usable.astype(jnp.int32),
                         h3_usable.astype(jnp.int32), ovf])
-    scal_f = jnp.stack([mean7500, s15["scale"]])
-    return dict(rows=rows, hexpack=out["hexpack"], hdr=hdr,
-                scal_i=scal_i, scal_f=scal_f)
+    scal_f = jnp.stack([mean7500, s15["scale"]]).astype(jnp.float32)
+
+    def fix16(x):
+        v = jnp.clip(jnp.round(x * 100.0), -32000, 32000)
+        return jnp.where(jnp.isnan(x), -32768, v.astype(jnp.int32)) \
+            .astype(jnp.int16)
+
+    def fix32(x):
+        lim = 2.0 ** 31 - 256.0
+        return jnp.clip(jnp.round(x * 100.0), -lim, lim).astype(jnp.int32)
+
+    flags = (good.astype(jnp.int16)
+             | (frame_valid.astype(jnp.int16) << 1))
+    six16 = jnp.stack([fix16(out["temp"]), fix16(out["cond"]),
+                       fix16(out["psal"]), fix16(out["r400"]),
+                       fix16(out["r7500"]), flags])
+    six_i32 = jax.lax.bitcast_convert_type(
+        six16.reshape(-1, 2), jnp.int32)
+    # explicit int32 on every part: under x64 a weakly-typed int in any
+    # component would promote the whole concatenate to int64 and the
+    # host's fixed-width views would misparse the buffer
+    parts = [scal_i,
+             jax.lax.bitcast_convert_type(scal_f, jnp.int32),
+             hdr,
+             jax.lax.bitcast_convert_type(out["hexpack"], jnp.int32),
+             fix32(out["times"]), fix32(out["depth"]), six_i32]
+    return jnp.concatenate([p.astype(jnp.int32) for p in parts])
 
 
 def fused_core(pcm, n_valid, power_trig, sos_arr, bit_trig, trig_i, trig_f,
@@ -643,13 +695,45 @@ def attach_profile(result: DecodeResult, rows: np.ndarray,
 
 
 HDR_N = 72  # found flags per header in the packed hdr array
+_HDR_LEN = 10 * HDR_N
+_HEAD_LEN = 6 + 2 + _HDR_LEN  # scal_i + scal_f + hdr prefix
 
 
-def finish_result(out: dict, fs_report, n: int, fs: float,
+def unpack_result(buf: np.ndarray) -> dict:
+    """Inverse of back_half_core's single-vector packing: reconstruct
+    the {rows, hexpack, hdr, scal_i, scal_f} tree on the host (all
+    numpy views/divisions — microseconds)."""
+    buf = np.ascontiguousarray(np.asarray(buf), dtype=np.int32)
+    mf = (buf.shape[0] - _HEAD_LEN) // 6
+    scal_i = buf[:6]
+    scal_f = buf[6:8].view(np.float32)
+    hdr = buf[8 : 8 + _HDR_LEN]
+    off = _HEAD_LEN
+    hexpack = buf[off : off + mf].view(np.uint32)
+    times = buf[off + mf : off + 2 * mf] / 100.0
+    depth = buf[off + 2 * mf : off + 3 * mf] / 100.0
+    six = buf[off + 3 * mf :].view(np.int16).reshape(6, mf)
+    fields = []
+    for a in six[:5]:
+        v = a.astype(np.float64) / 100.0
+        v[a == -32768] = np.nan
+        fields.append(v)
+    flags = six[5]
+    rows = np.stack([times, depth, *fields,
+                     (flags & 1).astype(np.float64),
+                     ((flags >> 1) & 1).astype(np.float64)])
+    return dict(rows=rows, hexpack=hexpack, hdr=hdr, scal_i=scal_i,
+                scal_f=scal_f)
+
+
+def finish_result(out, fs_report, n: int, fs: float,
                   cfg: DecoderConfig, wire_used: str | None = None) -> DecodeResult:
-    """Build a DecodeResult from one fused-decode output tree (host side:
-    status, exact float64 metadata from the header frame arrays, report
-    formatting — all microsecond-scale numpy/python)."""
+    """Build a DecodeResult from one fused-decode output (the packed
+    int32 vector, or its unpacked tree; host side: status, exact float64
+    metadata from the header frame arrays, report formatting — all
+    microsecond-scale numpy/python)."""
+    if not isinstance(out, dict):
+        out = unpack_result(out)
     result = DecodeResult(fs=fs_report, numpoints=n, wire=wire_used)
     scal_i = np.asarray(out["scal_i"])
     if scal_i.shape[0] > 5:

@@ -102,15 +102,16 @@ def _batched_back_half(dims, fs):
     return jax.jit(jax.vmap(one, in_axes=(0,) * 8 + (None,) * 7))
 
 
-def finish_batch(out_host: dict, cfg: DecoderConfig, fs: float, fs_report,
+def finish_batch(out_host, cfg: DecoderConfig, fs: float, fs_report,
                  lengths, wire_used: str | None = None) -> list[DecodeResult]:
-    """Per-row host finish (status, exact metadata, report fields)."""
-    b = len(np.asarray(out_host["scal_i"]))
+    """Per-row host finish (status, exact metadata, report fields);
+    ``out_host`` is the (B, L) packed result matrix (one int32 row per
+    drop — see back_half_core)."""
+    out_host = np.asarray(out_host)
     return [
-        eng.finish_result({k: v[i] for k, v in out_host.items()},
-                          fs_report, int(lengths[i]), fs, cfg,
+        eng.finish_result(out_host[i], fs_report, int(lengths[i]), fs, cfg,
                           wire_used=wire_used)
-        for i in range(b)
+        for i in range(out_host.shape[0])
     ]
 
 

@@ -144,12 +144,13 @@ def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int
             # no bit edges in the zero-padded tail (filter ring-down there
             # would otherwise demodulate into garbage frames)
             is_c &= gpos_blk < nv - 1
-            pos, cnt = chain_ops.compact_indices(is_c, max_cross_blk, BIG)
+            pos, cnt, rovf = chain_ops.compact_indices_rowcap(
+                is_c, max_cross_blk, BIG)
             probes = goertzel.tone_power_at(
                 row, jnp.clip(pos, 0, block - 1) + bit_inset, dims.npcm, btrig)
             gp = jnp.where(pos < BIG, pos + sp_i * block, BIG)
             # truncation flag: this block's crossings exceeded capacity
-            ovf = (cnt > max_cross_blk).astype(jnp.int32)
+            ovf = (cnt > max_cross_blk).astype(jnp.int32) | rovf
             return gp.astype(jnp.int32), probes[:, 0], probes[:, 1], ovf
 
         gpos, p1, p2, ovf = jax.vmap(cross_one)(f_ext, n_valid)

@@ -130,7 +130,7 @@ def main():
             params["trig_i"], params["trig_f"], params["hdr_rel"],
             params["calib_off"], params["coeff_defaults"],
             params["temp_lut"], params["limits"], dims, FS)
-        return s + force(out["rows"], out["hexpack"], out["hdr"])
+        return s + force(out)  # packed single-vector result
 
     e = jax.jit(full)
 

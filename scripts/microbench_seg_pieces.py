@@ -74,6 +74,11 @@ def main():
         is_c = sgn[:seg_len] != sgn[1 : seg_len + 1]
         return chain_ops.compact_indices(is_c, c_seg, BIG)
 
+    def cross_part_rowcap(filt):
+        sgn = jnp.where(filt >= 0, 1, -1)
+        is_c = sgn[:seg_len] != sgn[1 : seg_len + 1]
+        return chain_ops.compact_indices_rowcap(is_c, c_seg, BIG)[:2]
+
     def probes_part(filt, pos):
         return goertzel.tone_power_at(
             filt[: seg_len + right],
@@ -90,17 +95,25 @@ def main():
                            + probes_part(f, pos)[0, 0])(
                                cross_part(f)[0]))(filt_part(x)))
 
+    e = jax.jit(lambda x: (lambda f: (lambda pos: f[0]
+                           + powers_part(x)[0, 0]
+                           + pos[0].astype(jnp.float32)
+                           + probes_part(f, pos)[0, 0])(
+                               cross_part_rowcap(f)[0]))(filt_part(x)))
+
     base = timeit(jax.jit(lambda x: x[0]), xd)
     ta = timeit(a, xd)
     tb = timeit(b, xd)
     tc = timeit(c, xd)
     td = timeit(d, xd)
+    te = timeit(e, xd)
     print(f"dispatch overhead:    {base*1e3:6.1f} ms")
     print(f"filter (fft):         {(ta-base)*1e3:6.1f} ms")
     print(f"+ tone powers:        {(tb-ta)*1e3:6.1f} ms")
     print(f"+ crossings compact:  {(tc-tb)*1e3:6.1f} ms")
     print(f"+ probes:             {(td-tc)*1e3:6.1f} ms")
     print(f"sum (~segment prog):  {(td-base)*1e3:6.1f} ms")
+    print(f"sum w/ rowcap compact:{(te-base)*1e3:6.1f} ms")
 
 
 if __name__ == "__main__":

@@ -307,3 +307,52 @@ def test_highrate_device_decimation(tmp_path):
     assert ref.metadata == res.metadata
     a, b = set(res.hexframes), set(ref.hexframes)
     assert len(a & b) / max(len(a | b), 1) > 0.98
+
+
+def test_packed_result_roundtrip(engines):
+    """The single-vector result packing (back_half_core -> unpack_result)
+    must preserve the 2-decimal contract exactly: every reported value is
+    an integer number of centi-units, flags survive, and hex frames are
+    bit-exact (they ride the buffer as bitcast uint32)."""
+    _, fast, truth = engines
+    for vals in (fast.time, fast.depth, fast.temperature,
+                 fast.conductivity, fast.salinity, fast.r400, fast.r7500):
+        arr = np.asarray(vals)
+        arr = arr[~np.isnan(arr)]
+        assert np.allclose(arr * 100, np.round(arr * 100), atol=1e-6)
+    assert len(fast.hexframes_qc) == len(fast.time)
+    assert all(len(h) == 8 and int(h, 16) >= 0 for h in fast.hexframes[:50])
+
+
+def test_header_windows_span_semantics():
+    """stage15's searchsorted window spans must match the old masked
+    compaction: bits outside [lo, hi] or past n_edges-1 are excluded,
+    empty/inverted windows give zero counts."""
+    import jax.numpy as jnp
+
+    from axctdprocessor_tpu.models import tpu_engine as eng
+    from axctdprocessor_tpu.utils.config import DecoderConfig
+
+    cfg = DecoderConfig()
+    fs = 44100.0
+    npcm = int(np.round(fs / cfg.bitrate * 0.75)) - 2 * cfg.bit_inset
+    dims = eng.EngineDims.for_waveform(int(15 * fs), fs, cfg.bitrate, npcm)
+    me = dims.max_edges
+    rng = np.random.default_rng(3)
+    n_edges = 5000
+    edges = np.full(me, int(15 * fs), np.int64)
+    edges[:n_edges] = np.sort(rng.choice(int(14 * fs), n_edges, False))
+    s1 = rng.random(me).astype(np.float32) + 0.2
+    s2 = rng.random(me).astype(np.float32) + 0.2
+    for lo, hi in ((edges[100], edges[700]), (0, 50), (10**9, 2 * 10**9),
+                   (2**30, -2**30)):  # normal, pre-data, post-data, inverted
+        hb = np.asarray([lo, hi, lo, hi, lo, hi], np.int64)
+        out = eng.stage15_core(
+            jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(edges),
+            jnp.asarray(n_edges), jnp.asarray(hb),
+            jnp.asarray(0, jnp.int32), dims)
+        sel = (np.arange(me) < n_edges - 1) & (edges >= lo) & (edges <= hi)
+        assert int(out["h2_n"]) == int(sel.sum())
+        bits_host = np.asarray(out["bits"])
+        got = np.asarray(out["h2_bits"])[: sel.sum()]
+        assert np.array_equal(got, bits_host[sel][: len(got)])
