@@ -73,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TPU-engine upload format for integer PCM: int8 "
                         "halves the host->device bytes (decode-equivalent); "
                         "int4 quarters them (lossy opt-in, ~26 dB SNR); "
-                        "auto picks int8 on real TPU hardware")
+                        "auto picks noise-shaped int4 on real TPU hardware")
     p.add_argument("--quiet", action="store_true", help="Suppress progress output")
     p.add_argument("--diagnostics", action="store_true",
                    help="Append per-point R400/dR7500 signal columns to the "

@@ -217,8 +217,8 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
     Same result contract as decode_waveform_tpu; integer input is
     conditioned on device with host-computed raw-int DC/peak statistics
     (the same float64 statistics the WAV reader uses).  ``wire`` selects
-    the upload format for integer PCM (ops.wire; "auto" = int8 on real
-    TPU), which matters most here — the segmented path exists to stream
+    the upload format for integer PCM (ops.wire; "auto" = noise-shaped
+    int4 on real TPU), which matters most here — the segmented path exists to stream
     uploads under compute, and int8 halves the streamed bytes.
     """
     cfg = config or DecoderConfig()

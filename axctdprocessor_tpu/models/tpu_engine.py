@@ -850,7 +850,7 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
 
     ``wire``: host->device format for integer PCM — "int16" ships samples
     verbatim; "int8" quantizes on host to halve the upload (~48 dB SNR,
-    decode-equivalent; ops.wire); "auto" picks int8 on real TPU hardware
+    decode-equivalent; ops.wire); "auto" picks noise-shaped int4 on real TPU hardware
     (where the link binds latency) and int16 elsewhere.
     """
     cfg = config or DecoderConfig()

@@ -208,4 +208,45 @@ void axctd_quantize_int4(const int16_t* x, int64_t n, uint8_t* out) {
     }
 }
 
+// Noise-shaped packed int4 (same wire format as axctd_quantize_int4 —
+// the device unpack is identical; shaping is purely a host-side
+// encoding choice).  First-order error feedback q[i] = Q(v), v = x[i] *
+// scale + e, e' = v - q pushes the quantization noise spectrum to
+// |1 - z^-1|^2 = 4 sin^2(pi f / fs): ~21 dB less noise at the 400/800 Hz
+// FSK mark/space tones and ~14 dB less across the <=1300 Hz demod band
+// (44.1 kHz rate), at the cost of ~3 dB more near Nyquist where the
+// decode reads nothing.  The feedback clamp (|e| <= 1) keeps the loop
+// stable through the clipped peaks.  Sequential by construction (the
+// feedback is a loop-carried dependency), ~2x the plain quantizer's
+// host cost — still far below the upload bytes it protects.
+void axctd_quantize_int4_ns(const int16_t* x, int64_t n, uint8_t* out) {
+    int32_t peak = 1;
+    for (int64_t i = 0; i < n; ++i) {
+        int32_t a = x[i] < 0 ? -(int32_t)x[i] : (int32_t)x[i];
+        if (a > peak) peak = a;
+    }
+    const float scale = (float)(7.0 / (double)peak);
+    float e = 0.0f;
+    const int64_t pairs = n / 2;
+    for (int64_t i = 0; i < pairs; ++i) {
+        float v0 = (float)x[2 * i] * scale + e;
+        float q0 = round_ne(v0);
+        q0 = q0 < -7.f ? -7.f : (q0 > 7.f ? 7.f : q0);
+        e = v0 - q0;
+        e = e < -1.f ? -1.f : (e > 1.f ? 1.f : e);
+        float v1 = (float)x[2 * i + 1] * scale + e;
+        float q1 = round_ne(v1);
+        q1 = q1 < -7.f ? -7.f : (q1 > 7.f ? 7.f : q1);
+        e = v1 - q1;
+        e = e < -1.f ? -1.f : (e > 1.f ? 1.f : e);
+        out[i] = (uint8_t)((((int)q0 + 8) << 4) | ((int)q1 + 8));
+    }
+    if (n & 1) {
+        float v0 = (float)x[n - 1] * scale + e;
+        float q0 = round_ne(v0);
+        q0 = q0 < -7.f ? -7.f : (q0 > 7.f ? 7.f : q0);
+        out[pairs] = (uint8_t)((((int)q0 + 8) << 4) | 8);
+    }
+}
+
 }  // extern "C"

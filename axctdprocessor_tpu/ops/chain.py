@@ -365,7 +365,7 @@ def enumerate_bit_edges(crossings: jnp.ndarray, n_valid, fs: float,
 
 
 def enumerate_frames(accept: jnp.ndarray, n_bits, max_steps: int,
-                     max_frames: int):
+                     max_frames: int, max_level: int = 6):
     """Run frame sync over the whole bitstream at once.
 
     Returns (frame_starts[max_frames], n_frames, consumed, overflow)
@@ -409,7 +409,8 @@ def enumerate_frames(accept: jnp.ndarray, n_bits, max_steps: int,
     j = jnp.arange(cap, dtype=jnp.int32)
     succ = jnp.where((j < n_keep) & (succ < n_keep), succ, j)
 
-    chain = chain_enumerate(succ, jnp.asarray(0, jnp.int32), max_frames)
+    chain = chain_enumerate(succ, jnp.asarray(0, jnp.int32), max_frames,
+                            max_level=max_level)
     advancing = jnp.concatenate([(n_acc > 0)[None], chain[1:] > chain[:-1]])
     is_frame = jnp.cumprod(advancing.astype(jnp.int32)).astype(bool)
     n_frames = jnp.sum(is_frame.astype(jnp.int32))

@@ -210,7 +210,7 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     batches are conditioned on device; for zero-padded ragged batches
     pass `lengths` (true samples per row) so DC removal averages over
     real samples only and the trigger grid stops at real windows.
-    ``wire`` selects the integer upload format (ops.wire; "auto" = int8
+    ``wire`` selects the integer upload format (ops.wire; "auto" = noise-shaped int4
     per-row quantization on real TPU — a 64-drop batch is upload-bound
     just like a long single file)."""
     return finish_dispatched(*dispatch_batch(

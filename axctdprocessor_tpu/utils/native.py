@@ -85,6 +85,12 @@ def get_library():
             np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
         ]
         lib.axctd_quantize_int4.restype = None
+        lib.axctd_quantize_int4_ns.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+        ]
+        lib.axctd_quantize_int4_ns.restype = None
         _lib = lib
         return _lib
 
@@ -128,6 +134,21 @@ def quantize_int4_native(x: np.ndarray):
     x = np.ascontiguousarray(x)
     out = np.empty((len(x) + 1) // 2, np.uint8)
     lib.axctd_quantize_int4(x, len(x), out)
+    return out
+
+
+def quantize_int4_ns_native(x: np.ndarray):
+    """int16 -> packed int4 with first-order noise shaping in C, or None.
+
+    Same wire format/device unpack as the plain int4 quantizer; the
+    error-feedback loop moves quantization noise out of the <=1300 Hz
+    demod band (wavio.cpp axctd_quantize_int4_ns)."""
+    lib = get_library()
+    if lib is None or x.dtype != np.int16:
+        return None
+    x = np.ascontiguousarray(x)
+    out = np.empty((len(x) + 1) // 2, np.uint8)
+    lib.axctd_quantize_int4_ns(x, len(x), out)
     return out
 
 

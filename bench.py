@@ -4,9 +4,9 @@
 Primary metric: realtime factor — seconds of 44.1 kHz AXCTD audio fully
 decoded (WAV-conditioned PCM -> QC'd T/C/S/z profile + header metadata)
 per second of wall clock, for the segmented TPU engine on a 600 s drop
-over the default (int8) wire.  Extra fields report the opt-in int4 wire
-and the batched archive throughput (16 x 60 s drops through the
-pipelined two-stage decoder).
+over the default wire ("auto" = noise-shaped int4 on real TPU).  Extra
+fields report the lossless-class int8 wire, the batched 64-drop
+pipelined decode, and the 64-WAV archive-runner corpus throughput.
 
 Each metric runs in its OWN subprocess: repeated heavy decodes inside
 one process slow down 2-3x on the relay (measured — see
@@ -158,7 +158,7 @@ def child_single(wire: str) -> None:
     parity = set(open(PARITY_CACHE).read().split())
     got = set(res.hexframes)
     agree = len(got & parity) / max(len(got | parity), 1)
-    floor = 0.97 if wire == "int4" else 0.98
+    floor = 0.97 if wire in ("int4", "auto") else 0.98
     assert agree > floor, f"frame agreement vs parity {agree:.4f} < {floor}"
 
     times = []
@@ -167,7 +167,7 @@ def child_single(wire: str) -> None:
         res = decode_wav_tpu(WAV, wire=wire)
         times.append(time.perf_counter() - t0)
     assert abs(len(res.hexframes) - n_frames) <= 0.01 * n_frames
-    print(f"WALL {min(times):.6f} FRAMES {n_frames}")
+    print(f"WALL {min(times):.6f} FRAMES {n_frames} WIRE {res.wire}")
 
 
 def child_batch() -> None:
@@ -246,10 +246,10 @@ def _run_child(mode: str, timeout: float = 2400.0):
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--child":
         mode = sys.argv[2]
-        if mode == "single_int8":
-            child_single("auto")
-        elif mode == "single_int4":
-            child_single("int4")
+        if mode == "single_auto":
+            child_single("auto")  # noise-shaped int4 on real TPU
+        elif mode == "single_int8":
+            child_single("int8")
         elif mode == "batch":
             child_batch()
         elif mode == "corpus":
@@ -262,13 +262,13 @@ def main():
     _write_drop()
     _parity_frames()  # correctness reference for the timed children
 
-    wall = _run_child("single_int8")
+    wall = _run_child("single_auto")
     rtf = DURATION / wall
 
     try:
-        int4_rtf = round(DURATION / _run_child("single_int4"), 1)
+        int8_rtf = round(DURATION / _run_child("single_int8"), 1)
     except Exception:
-        int4_rtf = None  # opt-in wire failed its correctness gate
+        int8_rtf = None  # lossless-class reference wire child failed
 
     batch_wall = _run_child("batch")
     batch_rtf = BATCH_DROPS * BATCH_SECONDS / batch_wall
@@ -285,7 +285,8 @@ def main():
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / REFERENCE_RTF, 2),
         "single_wall_s": round(wall, 3),
-        "int4_rtf": int4_rtf,
+        "wire_auto": "int4-ns",
+        "int8_rtf": int8_rtf,
         "batch_rtf": round(batch_rtf, 1),
         "batch_drops": BATCH_DROPS,
         "batch_wall_s": round(batch_wall, 3),

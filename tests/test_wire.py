@@ -15,6 +15,18 @@ from axctdprocessor_tpu.models.tpu_engine import decode_waveform_tpu
 from axctdprocessor_tpu.utils.wavio import read_wav_raw16
 
 
+def frame_agreement(a, b) -> float:
+    """Multiset Jaccard agreement between two hexframe lists.
+
+    Positional zip comparison collapses to ~0 when one borderline frame
+    is inserted/dropped early (every later position shifts); the
+    multiset form measures actual decode agreement."""
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    return sum((ca & cb).values()) / max(sum((ca | cb).values()), 1)
+
+
 @pytest.fixture(scope="module")
 def noisy_int16():
     """A noisy 70 s drop as int16 (borderline bits stress quantization)."""
@@ -86,8 +98,8 @@ def test_resolve_wire():
     # floats never re-encode
     assert wire.resolve_wire("int8", np.float32) == "int16"
     # auto is backend-dependent but must resolve to a concrete format
-    assert wire.resolve_wire("auto", np.int16) in ("int8", "int16")
-    # int4 is valid but strictly opt-in: auto never chooses it
+    # (noise-shaped int4 on real TPU, int16 elsewhere)
+    assert wire.resolve_wire("auto", np.int16) in ("int4", "int8", "int16")
     assert wire.resolve_wire("int4", np.int16) == "int4"
     with pytest.raises(ValueError):
         wire.resolve_wire("int2", np.int16)
@@ -144,10 +156,62 @@ def test_int4_pack_unpack_roundtrip(rng):
         got = np.asarray(unpack_int4(jnp.asarray(packed), n))
         peak = np.max(np.abs(x))
         want = np.clip(np.rint(x * 7.0 / peak), -7, 7)
-        np.testing.assert_array_equal(got, want)
+        # the C encoder noise-shapes: each level may differ from plain
+        # rounding by the carried error (|e| <= 1 -> at most one step,
+        # two at a clipped peak); the numpy fallback rounds plainly
+        assert np.max(np.abs(got - want)) <= 2
+        assert np.mean(np.abs(got - want)) < 0.6
         dc, pk = wire.int4_stats(packed, n)
-        assert dc == pytest.approx(float(np.mean(want)), abs=1e-12)
-        assert pk == max(float(np.max(np.abs(want))), 1.0)
+        unpacked = got.astype(np.float64)
+        assert dc == pytest.approx(float(np.mean(unpacked)), abs=1e-12)
+        assert pk == max(float(np.max(np.abs(unpacked))), 1.0)
+
+
+def test_int4_noise_shaping_in_band():
+    """The C int4 encoder's error feedback must (a) bit-match a scalar
+    reference loop and (b) cut the demod-band (300-1300 Hz) quantization
+    noise vs plain rounding by >= 6 dB on a realistic FSK-plus-tone mix
+    (measured ~17 dB; the loose floor keeps the test robust)."""
+    from axctdprocessor_tpu.utils import native
+
+    if native.get_library() is None:
+        pytest.skip("no native toolchain")
+    fs = 44100
+    t = np.arange(4 * fs) / fs
+    sig = (0.5 * np.sin(2 * np.pi * 400 * t)
+           + 0.3 * np.sin(2 * np.pi * 800 * t)
+           + 0.2 * np.sin(2 * np.pi * 7500 * t))
+    x = np.round(sig / np.max(np.abs(sig)) * 28000).astype(np.int16)
+
+    # scalar reference of the C loop (wavio.cpp axctd_quantize_int4_ns)
+    peak = np.float32(float(np.max(np.abs(x.astype(np.int32)))))
+    scale = np.float32(7.0 / float(peak))
+    C = np.float32(12582912.0)
+    e = np.float32(0.0)
+    ref = np.empty(512, np.int32)
+    for i in range(512):
+        v = np.float32(np.float32(x[i]) * scale + e)
+        q = np.float32(v + C) - C
+        q = min(max(q, np.float32(-7.0)), np.float32(7.0))
+        e = min(max(np.float32(v - q), np.float32(-1.0)), np.float32(1.0))
+        ref[i] = int(q)
+    packed = native.quantize_int4_ns_native(x)
+    u = np.empty(len(x), np.int32)
+    u[0::2] = (packed.astype(np.int32) >> 4) - 8
+    u[1::2] = (packed.astype(np.int32) & 15) - 8
+    np.testing.assert_array_equal(u[:512], ref)
+
+    def band_err(unpacked):
+        err = unpacked - x / (float(peak) / 7.0)
+        E = np.abs(np.fft.rfft(err)) ** 2
+        f = np.fft.rfftfreq(len(err), 1 / fs)
+        return float(np.sum(E[(f >= 300) & (f <= 1300)]))
+
+    plain = native.quantize_int4_native(x)
+    up = np.empty(len(x), np.int32)
+    up[0::2] = (plain.astype(np.int32) >> 4) - 8
+    up[1::2] = (plain.astype(np.int32) & 15) - 8
+    assert band_err(u) < band_err(up) / 4.0  # >= 6 dB better in-band
 
 
 def test_int4_wire_decode(default_drop_wav):
@@ -159,13 +223,11 @@ def test_int4_wire_decode(default_drop_wav):
     assert r4.status == 2
     assert r4.metadata == r16.metadata
     assert r4.metadata["serial_no"] == truth["serial_no"]
-    agree = sum(a == b for a, b in zip(r16.hexframes, r4.hexframes))
-    assert agree >= 0.98 * max(len(r16.hexframes), len(r4.hexframes))
+    assert frame_agreement(r16.hexframes, r4.hexframes) >= 0.98
 
     s4 = segmented.decode_waveform_segmented(raw, fs, wire="int4")
     assert s4.status == 2 and s4.metadata["serial_no"] == truth["serial_no"]
-    agree = sum(a == b for a, b in zip(s4.hexframes, r4.hexframes))
-    assert agree >= 0.98 * max(len(s4.hexframes), len(r4.hexframes))
+    assert frame_agreement(s4.hexframes, r4.hexframes) >= 0.98
 
 
 def test_int4_wire_batch_and_pipeline(noisy_int16):
@@ -179,8 +241,7 @@ def test_int4_wire_batch_and_pipeline(noisy_int16):
     for a, b in zip(r4, r16):
         assert a.status == b.status == 2
         assert a.metadata == b.metadata
-        agree = sum(x == y for x, y in zip(a.hexframes, b.hexframes))
-        assert agree >= 0.95 * max(len(a.hexframes), len(b.hexframes))
+        assert frame_agreement(a.hexframes, b.hexframes) >= 0.95
 
     # the pipelined path (stage1 + back half) computes the same ops as
     # the fused program: int4 results must match decode_batch exactly
