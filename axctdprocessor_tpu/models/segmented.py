@@ -250,13 +250,18 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
         ext_len_chk = LEFT_HALO + seg_len + right
         if w == "int4" and (seg_len % 2 or ext_len_chk % 2):
             w = "int8"  # packed slicing needs even segment boundaries
-        pcm = wire_ops.encode(pcm, w)
-        wire4 = pcm.dtype == np.uint8
-        if wire4:
-            dc, peak = wire_ops.int4_stats(pcm, n_raw)
+        if w == "int4":
+            # fused C pass: pack + (dc, peak) stats in one sweep
+            pcm, dc, peak = wire_ops.quantize_int4_packed_stats(pcm)
+            wire4 = True
         else:
+            pcm = wire_ops.encode(pcm, w)
             dc = float(np.mean(pcm))
-            peak = max(float(np.max(np.abs(pcm))), 1.0) if n_raw else 1.0
+            # min/max reductions, not np.abs (wraps at the int16 minimum)
+            # and no waveform-sized temporary (fresh-page stall — see
+            # ops.wire.int4_stats)
+            peak = (float(max(int(pcm.max()), -int(pcm.min()), 1))
+                    if n_raw else 1.0)
     else:
         w = "float32"  # conditioned float PCM ships verbatim
         dc, peak = 0.0, 1.0  # float input arrives conditioned

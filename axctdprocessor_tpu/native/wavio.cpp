@@ -219,7 +219,13 @@ void axctd_quantize_int4(const int16_t* x, int64_t n, uint8_t* out) {
 // stable through the clipped peaks.  Sequential by construction (the
 // feedback is a loop-carried dependency), ~2x the plain quantizer's
 // host cost — still far below the upload bytes it protects.
-void axctd_quantize_int4_ns(const int16_t* x, int64_t n, uint8_t* out) {
+// Core shared by the two exported forms below.  q_sum/q_maxmag receive
+// the sum and max magnitude of the emitted levels — the (dc, peak)
+// statistics the segmented decoder's device conditioning needs, for
+// free in the same pass (a separate stats pass costs ~60-100 ms even
+// through LUTs; see ops.wire.int4_stats).
+static void q4ns_core(const int16_t* x, int64_t n, uint8_t* out,
+                      int64_t* q_sum, int32_t* q_maxmag) {
     int32_t peak = 1;
     for (int64_t i = 0; i < n; ++i) {
         int32_t a = x[i] < 0 ? -(int32_t)x[i] : (int32_t)x[i];
@@ -227,6 +233,8 @@ void axctd_quantize_int4_ns(const int16_t* x, int64_t n, uint8_t* out) {
     }
     const float scale = (float)(7.0 / (double)peak);
     float e = 0.0f;
+    int64_t sum = 0;
+    int32_t mm = 0;
     const int64_t pairs = n / 2;
     for (int64_t i = 0; i < pairs; ++i) {
         float v0 = (float)x[2 * i] * scale + e;
@@ -239,14 +247,39 @@ void axctd_quantize_int4_ns(const int16_t* x, int64_t n, uint8_t* out) {
         q1 = q1 < -7.f ? -7.f : (q1 > 7.f ? 7.f : q1);
         e = v1 - q1;
         e = e < -1.f ? -1.f : (e > 1.f ? 1.f : e);
-        out[i] = (uint8_t)((((int)q0 + 8) << 4) | ((int)q1 + 8));
+        int i0 = (int)q0, i1 = (int)q1;
+        sum += i0 + i1;
+        int a0 = i0 < 0 ? -i0 : i0, a1 = i1 < 0 ? -i1 : i1;
+        if (a0 > mm) mm = a0;
+        if (a1 > mm) mm = a1;
+        out[i] = (uint8_t)(((i0 + 8) << 4) | (i1 + 8));
     }
     if (n & 1) {
         float v0 = (float)x[n - 1] * scale + e;
         float q0 = round_ne(v0);
         q0 = q0 < -7.f ? -7.f : (q0 > 7.f ? 7.f : q0);
-        out[pairs] = (uint8_t)((((int)q0 + 8) << 4) | 8);
+        int i0 = (int)q0;
+        sum += i0;
+        int a0 = i0 < 0 ? -i0 : i0;
+        if (a0 > mm) mm = a0;
+        out[pairs] = (uint8_t)(((i0 + 8) << 4) | 8);
     }
+    *q_sum = sum;
+    *q_maxmag = mm;
+}
+
+void axctd_quantize_int4_ns(const int16_t* x, int64_t n, uint8_t* out) {
+    int64_t s;
+    int32_t m;
+    q4ns_core(x, n, out, &s, &m);
+}
+
+// Fused quantize + stats: q_sum/q_maxmag give dc = q_sum/n and
+// peak = max(q_maxmag, 1) without re-reading the packed bytes.
+void axctd_quantize_int4_ns_stats(const int16_t* x, int64_t n,
+                                  uint8_t* out, int64_t* q_sum,
+                                  int32_t* q_maxmag) {
+    q4ns_core(x, n, out, q_sum, q_maxmag);
 }
 
 }  // extern "C"

@@ -194,6 +194,24 @@ _INT4_MAX_LUT = np.maximum(np.abs((_BYTE >> 4) - 8),
                            np.abs((_BYTE & 15) - 8)).astype(np.uint8)
 
 
+def quantize_int4_packed_stats(pcm: np.ndarray):
+    """(packed, dc, peak) for the int4 wire in ONE pass.
+
+    The C encoder accumulates the emitted-level sum and max magnitude
+    inside its quantization loop, so the segmented decoder's device-
+    conditioning statistics come for free; the fallback packs first and
+    reads the stats back through the int4_stats LUTs."""
+    pcm = np.asarray(pcm)
+    if pcm.dtype == np.int16 and pcm.size:
+        from ..utils import native
+
+        r = native.quantize_int4_ns_stats_native(pcm)
+        if r is not None:
+            return r
+    packed = quantize_int4_packed(pcm)
+    return (packed, *int4_stats(packed, len(pcm)))
+
+
 def int4_stats(packed: np.ndarray, n: int) -> tuple[float, float]:
     """(dc, peak) of the unpacked int4 samples — the host statistics the
     segmented decoder's device conditioning uses.  Padding nibbles encode

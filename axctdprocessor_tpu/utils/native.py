@@ -91,6 +91,13 @@ def get_library():
             np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
         ]
         lib.axctd_quantize_int4_ns.restype = None
+        lib.axctd_quantize_int4_ns_stats.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.axctd_quantize_int4_ns_stats.restype = None
         _lib = lib
         return _lib
 
@@ -150,6 +157,27 @@ def quantize_int4_ns_native(x: np.ndarray):
     out = np.empty((len(x) + 1) // 2, np.uint8)
     lib.axctd_quantize_int4_ns(x, len(x), out)
     return out
+
+
+def quantize_int4_ns_stats_native(x: np.ndarray):
+    """(packed, dc, peak) in one fused C pass, or None.
+
+    Same encoding as quantize_int4_ns_native; the emitted-level sum and
+    max magnitude accumulate inside the quantization loop, so the
+    segmented decoder's (dc, peak) conditioning statistics cost nothing
+    extra (a separate stats pass over the packed bytes is ~60-100 ms at
+    600 s scale)."""
+    lib = get_library()
+    if lib is None or x.dtype != np.int16:
+        return None
+    x = np.ascontiguousarray(x)
+    out = np.empty((len(x) + 1) // 2, np.uint8)
+    s = ctypes.c_int64()
+    m = ctypes.c_int32()
+    lib.axctd_quantize_int4_ns_stats(x, len(x), out, ctypes.byref(s),
+                                     ctypes.byref(m))
+    n = len(x)
+    return out, (float(s.value) / n if n else 0.0), float(max(m.value, 1))
 
 
 def read_wav_conditioned_f32(path: str):
