@@ -243,6 +243,7 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
 
     integer_input = bool(np.issubdtype(pcm.dtype, np.integer))
     wire4 = False
+    enc = None  # chunked int4 encoder (quantizes ahead of the uploads)
     if integer_input:
         from ..ops import wire as wire_ops
 
@@ -251,8 +252,15 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
         if w == "int4" and (seg_len % 2 or ext_len_chk % 2):
             w = "int8"  # packed slicing needs even segment boundaries
         if w == "int4":
-            # fused C pass: pack + (dc, peak) stats in one sweep
-            pcm, dc, peak = wire_ops.quantize_int4_packed_stats(pcm)
+            # chunked C encoder: quantize ahead of the upload cursor so
+            # the first segment transfer starts after ~6 ms, with the
+            # remaining chunks running under the IO-bound wire drain
+            # (closed-form dc/peak — see wire.ChunkedInt4Encoder)
+            enc = wire_ops.chunked_int4_encoder(pcm)
+            if enc is not None:
+                pcm, dc, peak = enc.packed, enc.dc, enc.peak
+            else:  # no native lib: one-shot pack + stats
+                pcm, dc, peak = wire_ops.quantize_int4_packed_stats(pcm)
             wire4 = True
         else:
             pcm = wire_ops.encode(pcm, w)
@@ -315,6 +323,8 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
     outs = []
     for k in range(n_seg_pad):
         if k < n_seg:
+            if enc is not None:
+                enc.ensure((k * seg_len + seg_len + right) * raw_mult)
             ext_arg = jnp.asarray(build_ext(k))
         else:
             if zero_ext is None:

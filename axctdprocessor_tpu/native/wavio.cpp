@@ -282,4 +282,59 @@ void axctd_quantize_int4_ns_stats(const int16_t* x, int64_t n,
     q4ns_core(x, n, out, q_sum, q_maxmag);
 }
 
+// One fast vectorizable pass: sum and |.|-peak of raw int16 samples.
+// Feeds the chunked encoder's closed-form conditioning stats (the NS
+// loop's noise transfer function has a zero at DC, so the emitted-level
+// mean equals sum * scale / n up to the final carried error / n — below
+// 1e-7 of a quantization step at waveform sizes).
+void axctd_sum_peak_int16(const int16_t* x, int64_t n, int64_t* sum,
+                          int32_t* peak) {
+    int64_t s = 0;
+    int32_t p = 1;
+    for (int64_t i = 0; i < n; ++i) {
+        s += x[i];
+        int32_t a = x[i] < 0 ? -(int32_t)x[i] : (int32_t)x[i];
+        if (a > p) p = a;
+    }
+    *sum = s;
+    *peak = p;
+}
+
+// Carried-state chunked form of the noise-shaped int4 encoder: encodes
+// x[0:nchunk) into out (nchunk/2 bytes; nchunk must be even except for
+// the caller's final chunk), with the feedback error threading through
+// *e_io across calls.  Byte-identical to one whole-waveform
+// axctd_quantize_int4_ns call over the concatenated chunks when given
+// scale = 7 / peak(whole waveform).  Lets the segmented decoder start
+// the first host->device segment upload after ~6 ms of encoding instead
+// of ~140 ms (the wire drain is IO — it overlaps the remaining chunks
+// even on this 1-core host).
+void axctd_quantize_int4_ns_chunk(const int16_t* x, int64_t nchunk,
+                                  uint8_t* out, float scale, float* e_io) {
+    float e = *e_io;
+    const int64_t pairs = nchunk / 2;
+    for (int64_t i = 0; i < pairs; ++i) {
+        float v0 = (float)x[2 * i] * scale + e;
+        float q0 = round_ne(v0);
+        q0 = q0 < -7.f ? -7.f : (q0 > 7.f ? 7.f : q0);
+        e = v0 - q0;
+        e = e < -1.f ? -1.f : (e > 1.f ? 1.f : e);
+        float v1 = (float)x[2 * i + 1] * scale + e;
+        float q1 = round_ne(v1);
+        q1 = q1 < -7.f ? -7.f : (q1 > 7.f ? 7.f : q1);
+        e = v1 - q1;
+        e = e < -1.f ? -1.f : (e > 1.f ? 1.f : e);
+        out[i] = (uint8_t)((((int)q0 + 8) << 4) | ((int)q1 + 8));
+    }
+    if (nchunk & 1) {
+        float v0 = (float)x[nchunk - 1] * scale + e;
+        float q0 = round_ne(v0);
+        q0 = q0 < -7.f ? -7.f : (q0 > 7.f ? 7.f : q0);
+        e = v0 - q0;
+        e = e < -1.f ? -1.f : (e > 1.f ? 1.f : e);
+        out[pairs] = (uint8_t)((((int)q0 + 8) << 4) | 8);
+    }
+    *e_io = e;
+}
+
 }  // extern "C"

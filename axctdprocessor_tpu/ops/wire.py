@@ -212,6 +212,68 @@ def quantize_int4_packed_stats(pcm: np.ndarray):
     return (packed, *int4_stats(packed, len(pcm)))
 
 
+class ChunkedInt4Encoder:
+    """Incremental noise-shaped int4 encoder over the C chunk API.
+
+    Quantizes on demand ahead of an upload cursor so the first
+    host->device segment transfer starts after ~6 ms of encoding instead
+    of after the whole ~140 ms waveform pass; the remaining chunks run
+    under the (IO-bound) wire drain.  The concatenated output is
+    byte-identical to one whole-waveform ``quantize_int4_packed`` call.
+
+    Conditioning stats come closed-form from one fast raw sum/peak pass:
+    the error-feedback loop's noise transfer function has a zero at DC,
+    so the emitted-level mean equals ``raw_mean * scale`` up to the
+    final carried error / n (< 1e-7 steps at waveform sizes), and the
+    scale maps the raw peak to the full-scale level by construction
+    (``peak = 7``).  Downstream is affine-invariant, so the sub-LSB
+    closed-form-vs-exact difference is far below decode resolution.
+    """
+
+    def __init__(self, pcm: np.ndarray, lib):
+        import ctypes
+
+        self._ct = ctypes
+        self.pcm = np.ascontiguousarray(pcm)
+        self.n = len(pcm)
+        self._lib = lib
+        s = ctypes.c_int64()
+        p = ctypes.c_int32()
+        lib.axctd_sum_peak_int16(self.pcm, self.n, ctypes.byref(s),
+                                 ctypes.byref(p))
+        self.scale = np.float32(7.0 / float(p.value))
+        self.dc = float(s.value) * float(self.scale) / max(self.n, 1)
+        self.peak = 7.0
+        self.packed = np.empty((self.n + 1) // 2, np.uint8)
+        self._e = ctypes.c_float(0.0)
+        self._done = 0  # samples encoded so far (always even mid-stream)
+
+    def ensure(self, n_samples: int) -> None:
+        """Encode through at least `n_samples` (clamped to the end)."""
+        need = min(max(n_samples, 0), self.n)
+        if need <= self._done:
+            return
+        take = need - self._done
+        if need < self.n:
+            take += take & 1  # keep the stream cursor byte-aligned
+        self._lib.axctd_quantize_int4_ns_chunk(
+            self.pcm[self._done:], take, self.packed[self._done // 2:],
+            self._ct.c_float(self.scale), self._ct.byref(self._e))
+        self._done += take
+
+
+def chunked_int4_encoder(pcm: np.ndarray):
+    """A ChunkedInt4Encoder for int16 input, or None (caller falls back
+    to the one-shot quantize_int4_packed_stats)."""
+    from ..utils import native
+
+    pcm = np.asarray(pcm)
+    lib = native.get_library()
+    if lib is None or pcm.dtype != np.int16 or not pcm.size:
+        return None
+    return ChunkedInt4Encoder(pcm, lib)
+
+
 def int4_stats(packed: np.ndarray, n: int) -> tuple[float, float]:
     """(dc, peak) of the unpacked int4 samples — the host statistics the
     segmented decoder's device conditioning uses.  Padding nibbles encode

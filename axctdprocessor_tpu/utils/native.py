@@ -98,6 +98,19 @@ def get_library():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ]
         lib.axctd_quantize_int4_ns_stats.restype = None
+        lib.axctd_sum_peak_int16.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.axctd_sum_peak_int16.restype = None
+        lib.axctd_quantize_int4_ns_chunk.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.axctd_quantize_int4_ns_chunk.restype = None
         _lib = lib
         return _lib
 

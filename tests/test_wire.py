@@ -214,6 +214,28 @@ def test_int4_noise_shaping_in_band():
     assert band_err(u) < band_err(up) / 4.0  # >= 6 dB better in-band
 
 
+def test_chunked_int4_encoder_matches_oneshot(rng):
+    """The segmented path's chunked encoder must be byte-identical to
+    the whole-waveform C pass under arbitrary ensure() patterns, and its
+    closed-form dc must sit within the final-carried-error/n bound of
+    the exact packed-stream statistics."""
+    from axctdprocessor_tpu.utils import native
+
+    if native.get_library() is None:
+        pytest.skip("no native toolchain")
+    for n in (101, 30011, 400001):
+        x = (rng.standard_normal(n) * 12000).astype(np.int16)
+        x[min(5, n - 1)] = -32768  # peak must widen, not wrap
+        ref = wire.quantize_int4_packed(x)
+        enc = wire.chunked_int4_encoder(x)
+        for tgt in list(range(0, n, max(n // 7, 1))) + [n - 1, n, n + 50]:
+            enc.ensure(tgt + 3)
+        np.testing.assert_array_equal(enc.packed, ref)
+        dc_exact, pk_exact = wire.int4_stats(ref, n)
+        assert abs(enc.dc - dc_exact) <= 2.0 / n + 1e-9
+        assert enc.peak == 7.0 and pk_exact == 7.0
+
+
 def test_int4_wire_decode(default_drop_wav):
     """Opt-in int4 wire on a clean drop: same metadata, ~same frames."""
     wav, truth = default_drop_wav
