@@ -211,16 +211,22 @@ def _bucket_count(k: int) -> int:
 
 def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
                               dtype=jnp.float32,
-                              wire: str = "auto") -> DecodeResult:
+                              wire: str = "auto",
+                              timer=None) -> DecodeResult:
     """Decode with per-segment stage 1 (streamed upload, bounded compile).
 
     Same result contract as decode_waveform_tpu; integer input is
     conditioned on device with host-computed raw-int DC/peak statistics
     (the same float64 statistics the WAV reader uses).  ``wire`` selects
     the upload format for integer PCM (ops.wire; "auto" = noise-shaped
-    int4 on real TPU), which matters most here — the segmented path exists to stream
-    uploads under compute, and int8 halves the streamed bytes.
+    int4 on real TPU), which matters most here — the segmented path
+    exists to stream uploads under compute.  ``timer`` (an optional
+    utils.profiling.StageTimer) splits the wall into encode / dispatch
+    loop / assemble / fetch / host-finish stages for latency triage.
     """
+    from ..utils.profiling import StageTimer
+
+    timer = timer if timer is not None else StageTimer()
     cfg = config or DecoderConfig()
     pcm = np.asarray(pcm)
     if pcm.dtype == np.uint8:
@@ -244,6 +250,8 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
     integer_input = bool(np.issubdtype(pcm.dtype, np.integer))
     wire4 = False
     enc = None  # chunked int4 encoder (quantizes ahead of the uploads)
+    t_prep = timer.stage("host_encode_stats")
+    t_prep.__enter__()
     if integer_input:
         from ..ops import wire as wire_ops
 
@@ -316,34 +324,41 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
                 pcm[src_lo // pk : (src_hi + pk - 1) // pk]
         return ext
 
+    t_prep.__exit__(None, None, None)
     # slot k >= n_seg is a zero segment: any content with an offset past
     # n_valid masks to silence (no crossings, zero powers); all padded
     # slots share one upload
     zero_ext = None
     outs = []
-    for k in range(n_seg_pad):
-        if k < n_seg:
-            if enc is not None:
-                enc.ensure((k * seg_len + seg_len + right) * raw_mult)
-            ext_arg = jnp.asarray(build_ext(k))
-        else:
-            if zero_ext is None:
-                zero_ext = jnp.asarray(np.full(buf_len, fill, pcm.dtype))
-            ext_arg = zero_ext
-        # async: segment k+1's upload streams while k computes
-        outs.append(seg_fn(ext_arg, dc_d, peak_d,
-                           jnp.asarray(min(k, n_seg) * seg_len, jnp.int32),
-                           nv_raw, pt, so, bt, ds))
+    with timer.stage("dispatch_loop"):
+        for k in range(n_seg_pad):
+            if k < n_seg:
+                if enc is not None:
+                    with timer.stage("  encode_chunks"):
+                        enc.ensure((k * seg_len + seg_len + right) * raw_mult)
+                with timer.stage("  build_upload"):
+                    ext_arg = jnp.asarray(build_ext(k))
+            else:
+                if zero_ext is None:
+                    zero_ext = jnp.asarray(np.full(buf_len, fill, pcm.dtype))
+                ext_arg = zero_ext
+            # async: segment k+1's upload streams while k computes
+            outs.append(seg_fn(ext_arg, dc_d, peak_d,
+                               jnp.asarray(min(k, n_seg) * seg_len, jnp.int32),
+                               nv_raw, pt, so, bt, ds))
 
     def gather(i):
         return jnp.stack([o[i] for o in outs])
 
-    assemble = _assemble_program(n_seg_pad, dims, fs, float(cfg.bitrate))
-    params = eng.fused_inputs(cfg, fs)
-    out = assemble(gather(0), gather(1), gather(2), gather(3), gather(4),
-                   gather(5), nv_dec, params["trig_i"], params["trig_f"],
-                   params["hdr_rel"],
-                   params["calib_off"], params["coeff_defaults"],
-                   params["temp_lut"], params["limits"])
-    host = jax.device_get(out)  # the decode's one blocking transfer
-    return eng.finish_result(host, fs_report, n, fs, cfg, wire_used=w)
+    with timer.stage("assemble_dispatch"):
+        assemble = _assemble_program(n_seg_pad, dims, fs, float(cfg.bitrate))
+        params = eng.fused_inputs(cfg, fs)
+        out = assemble(gather(0), gather(1), gather(2), gather(3), gather(4),
+                       gather(5), nv_dec, params["trig_i"], params["trig_f"],
+                       params["hdr_rel"],
+                       params["calib_off"], params["coeff_defaults"],
+                       params["temp_lut"], params["limits"])
+    with timer.stage("fetch"):
+        host = jax.device_get(out)  # the decode's one blocking transfer
+    with timer.stage("host_finish"):
+        return eng.finish_result(host, fs_report, n, fs, cfg, wire_used=w)
