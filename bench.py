@@ -258,6 +258,22 @@ def main():
             raise SystemExit(f"unknown child mode {mode}")
         return
 
+    # the relay backend has outage windows (observed: init raises
+    # UNAVAILABLE for tens of minutes); wait it out rather than crashing
+    # an unattended bench run.  Probed in a SUBPROCESS: jax caches a
+    # failed backend init for the life of the process, so an in-process
+    # retry would keep failing after the relay returns.
+    for attempt in range(30):
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, text=True, timeout=600)
+        if probe.returncode == 0:
+            break
+        print(f"# backend unavailable (attempt {attempt + 1}): "
+              f"{probe.stderr.strip().splitlines()[-1] if probe.stderr else '?'}",
+              file=sys.stderr)
+        time.sleep(60)
+
     smoke = pallas_smoke()
     _write_drop()
     _parity_frames()  # correctness reference for the timed children
