@@ -131,7 +131,8 @@ def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
         is_c = sgn[:seg_len] != sgn[1 : seg_len + 1]
         gpos_blk = jnp.arange(seg_len) + k_off
         is_c &= (gpos_blk >= edge_pad) & (gpos_blk < nv_dec - 1)
-        pos, cnt, rovf = chain_ops.compact_indices_rowcap(is_c, c_seg, BIG)
+        pos, cnt, rovf = chain_ops.compact_indices_rowcap(
+            is_c, c_seg, BIG, row_cap=chain_ops.rowcap_for_fs(fs))
         probes = goertzel.tone_power_at(
             fbody, jnp.clip(pos, 0, seg_len - 1) + bit_inset, npcm, btrig)
         gpos = jnp.where(pos < BIG, pos + k_off, BIG).astype(jnp.int32)

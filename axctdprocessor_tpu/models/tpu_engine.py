@@ -224,7 +224,8 @@ def stage1_core(pcm, power_trig, sos_arr, bit_trig,
         is_cross &= jnp.arange(dims.n) < n_valid - 1
     big = np.iinfo(np.int32).max // 2
     crossings, n_cross, rovf = chain_ops.compact_indices_rowcap(
-        is_cross, dims.max_crossings, big)
+        is_cross, dims.max_crossings, big,
+        row_cap=chain_ops.rowcap_for_fs(fs))
 
     edge_idx, n_edges = chain_ops.enumerate_bit_edges(
         crossings, n_cross, fs, bitrate, dims.max_edges)

@@ -134,6 +134,18 @@ def compact_indices_blocked(mask: jnp.ndarray, size: int, fill: int):
     return out, total
 
 
+def rowcap_for_fs(fs: float) -> int:
+    """Per-128-lane-row survivor cap for crossing compaction at `fs`.
+
+    The demod filter passes <= ~1300 Hz, so crossings are >= fs/2600
+    samples apart — at 44.1 kHz that is <= ~8 per 128-lane row (cap 16
+    with margin), but at 11.025 kHz the spacing shrinks to ~4 samples
+    and a fixed cap of 16 would silently drop real crossings.  The +8
+    margin absorbs edge effects; capped at the row size itself."""
+    spacing = float(fs) / 2600.0
+    return int(min(128, max(16, int(128.0 / max(spacing, 1.0)) + 8)))
+
+
 def compact_indices_rowcap(mask: jnp.ndarray, size: int, fill: int,
                            row_cap: int = 16):
     """Crossing-mask compaction with a per-128-lane-row survivor cap.

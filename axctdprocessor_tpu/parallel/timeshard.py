@@ -145,7 +145,8 @@ def _sharded_frontend(mesh: Mesh, dims, fs: float, bit_inset: int, edge_pad: int
             # would otherwise demodulate into garbage frames)
             is_c &= gpos_blk < nv - 1
             pos, cnt, rovf = chain_ops.compact_indices_rowcap(
-                is_c, max_cross_blk, BIG)
+                is_c, max_cross_blk, BIG,
+                row_cap=chain_ops.rowcap_for_fs(fs))
             probes = goertzel.tone_power_at(
                 row, jnp.clip(pos, 0, block - 1) + bit_inset, dims.npcm, btrig)
             gp = jnp.where(pos < BIG, pos + sp_i * block, BIG)

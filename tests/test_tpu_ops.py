@@ -200,3 +200,33 @@ def test_compact_indices_matches_where(rng):
         got, cnt = chain.compact_indices(jnp.asarray(mask), size, fill)
         np.testing.assert_array_equal(np.asarray(got), want, err_msg=str(trial))
         assert int(cnt) == int(mask.sum())
+
+
+def test_compact_indices_rowcap_low_fs_spacing(rng):
+    """Rowcap compaction must not truncate crossings at low sample
+    rates: a 16 kHz recording's crossings can sit ~6 samples apart
+    (>16 per 128-lane row), which the 44.1 kHz default cap would drop.
+    rowcap_for_fs must size the cap so such masks compact exactly."""
+    import jax.numpy as jnp
+
+    for fs, min_gap in ((44100.0, 17), (22050.0, 9), (16000.0, 6)):
+        cap = chain.rowcap_for_fs(fs)
+        n = 20000
+        # densest legal mask: a crossing every min_gap samples
+        mask = np.zeros(n, bool)
+        mask[::min_gap] = True
+        size = int(mask.sum()) + 64
+        fill = 2 ** 30
+        want = np.asarray(jnp.where(jnp.asarray(mask), size=size,
+                                    fill_value=fill)[0])
+        got, cnt, rovf = chain.compact_indices_rowcap(
+            jnp.asarray(mask), size, fill, row_cap=cap)
+        np.testing.assert_array_equal(np.asarray(got), want,
+                                      err_msg=f"fs={fs}")
+        assert int(cnt) == int(mask.sum())
+        assert int(rovf) == 0, f"fs={fs}: spurious row overflow"
+    # and the flag fires when a row genuinely exceeds the cap
+    dense = np.ones(256, bool)
+    _, _, rovf = chain.compact_indices_rowcap(
+        jnp.asarray(dense), 300, 2 ** 30, row_cap=16)
+    assert int(rovf) == 1
