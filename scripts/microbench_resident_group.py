@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Device-resident A/B: per-segment dispatch loop vs ONE vmapped
+dispatch over all segments.
+
+Round 2 recorded grouped dispatch (2/4/8 segments) as a null result —
+but that was when wall was ~930 ms and segment compute ~9 ms.  With
+segment compute now ~2.7 ms, the host-side enqueue cost of 28 separate
+dispatches (arg staging + dispatch python) could be a real fraction of
+a ~100 ms resident decode; the BASELINE <100 ms target needs this
+measured again.  Usage: one mode per fresh process:
+
+    microbench_resident_group.py loop | vmap
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from axctdprocessor_tpu.models import segmented, simulator, tpu_engine as eng
+from axctdprocessor_tpu.ops import wire as wire_ops
+from axctdprocessor_tpu.utils.config import DecoderConfig
+
+FS = 44100.0
+WAV_SECONDS = 600.0
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "loop"
+    print("backend:", jax.default_backend(), "mode:", mode)
+    cfg = DecoderConfig()
+    spec = simulator.SimSpec(duration=WAV_SECONDS, profile_start=33.0,
+                             seed=11)
+    pcm, _ = simulator.synthesize(spec)
+    raw = np.round(pcm * 28000 / np.max(np.abs(pcm))).astype(np.int16)
+    q = wire_ops.quantize_int8(raw)
+    n = len(q)
+
+    d_pcm, n_power, seg_len, right, c_seg = segmented._seg_geometry(FS)
+    npcm = (int(np.round(FS / cfg.bitrate * (1 - cfg.phase_error / 100)))
+            - 2 * cfg.bit_inset)
+    ext_len = segmented.LEFT_HALO + seg_len + right
+    n_seg = max(int(np.ceil(n / seg_len)), 1)
+    n_seg_pad = segmented._bucket_count(n_seg)
+    dims = eng.EngineDims.for_waveform(n_seg_pad * seg_len, FS, cfg.bitrate,
+                                       npcm)
+    power_trig, bit_trig, sos = eng.engine_tables(cfg, FS, dims)
+    seg_fn = segmented._segment_program(FS, npcm, cfg.bit_inset, 100, True)
+    pt, so, bt = (jnp.asarray(a, jnp.float32)
+                  for a in (power_trig, sos, bit_trig))
+    ds = jnp.asarray(np.zeros((1, 6)), jnp.float32)
+    dc = jnp.asarray(np.float32(np.mean(q)))
+    peak = jnp.asarray(np.float32(max(int(q.max()), -int(q.min()), 1)))
+    nv = jnp.asarray(n, jnp.int32)
+
+    def build_ext(k):
+        lo = k * seg_len - segmented.LEFT_HALO
+        hi = k * seg_len + seg_len + right
+        ext = np.zeros(ext_len, q.dtype)
+        s_lo, s_hi = max(lo, 0), min(hi, n)
+        ext[s_lo - lo : s_hi - lo] = q[s_lo:s_hi]
+        return ext
+
+    exts_np = np.stack([build_ext(k) if k < n_seg else
+                        np.zeros(ext_len, q.dtype)
+                        for k in range(n_seg_pad)])
+    koffs_np = np.asarray([min(k, n_seg) * seg_len
+                           for k in range(n_seg_pad)], np.int32)
+    assemble = segmented._assemble_program(n_seg_pad, dims, FS,
+                                           float(cfg.bitrate))
+    params = eng.fused_inputs(cfg, FS)
+
+    if mode == "loop":
+        exts = [jax.device_put(jnp.asarray(exts_np[k]))
+                for k in range(n_seg_pad)]
+        koffs = [jnp.asarray(int(koffs_np[k])) for k in range(n_seg_pad)]
+
+        def run():
+            outs = [seg_fn(exts[k], dc, peak, koffs[k], nv, pt, so, bt, ds)
+                    for k in range(n_seg_pad)]
+            stacked = [jnp.stack([o[i] for o in outs]) for i in range(6)]
+            out = assemble(*stacked, nv, params["trig_i"], params["trig_f"],
+                           params["hdr_rel"], params["calib_off"],
+                           params["coeff_defaults"], params["temp_lut"],
+                           params["limits"])
+            return jax.device_get(out)
+    else:
+        exts_d = jax.device_put(jnp.asarray(exts_np))
+        koffs_d = jax.device_put(jnp.asarray(koffs_np))
+        vseg = jax.jit(jax.vmap(
+            seg_fn, in_axes=(0, None, None, 0, None, None, None, None,
+                             None)))
+
+        def run():
+            stacked = vseg(exts_d, dc, peak, koffs_d, nv, pt, so, bt, ds)
+            out = assemble(*stacked, nv, params["trig_i"], params["trig_f"],
+                           params["hdr_rel"], params["calib_off"],
+                           params["coeff_defaults"], params["temp_lut"],
+                           params["limits"])
+            return jax.device_get(out)
+
+    host = run()  # warmup
+    res = eng.finish_result(host, 44100, n, FS, cfg)
+    print("decode:", res.status, len(res.hexframes), "frames")
+    best = 1e9
+    for _ in range(6):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    print(f"resident wall ({mode}): {best*1e3:.1f} ms "
+          f"-> {WAV_SECONDS/best:.0f}x realtime")
+
+
+if __name__ == "__main__":
+    main()
