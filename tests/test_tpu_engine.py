@@ -282,6 +282,31 @@ def test_trigger_timeout_truncation_boundary():
     assert int(prof) == host[2]
 
 
+def test_lowrate_16k_decode_vs_parity():
+    """16 kHz is a legal rate (7.5 kHz tone under Nyquist) whose
+    crossings sit ~6 samples apart — denser than a 128-lane row can
+    hold under the 44.1 kHz rowcap.  The fs-scaled cap
+    (chain.rowcap_for_fs) must keep the decode lossless: no overflow
+    flag and near-full frame agreement with the parity engine."""
+    from collections import Counter
+
+    from axctdprocessor_tpu.models import simulator
+    from axctdprocessor_tpu.models.parity_engine import decode_waveform
+
+    spec = simulator.SimSpec(fs=16000, duration=45.0, profile_start=33.0,
+                             seed=5)
+    pcm, truth = simulator.synthesize(spec)
+    raw = np.round(pcm * 24000 / np.max(np.abs(pcm))).astype(np.int16)
+    ref = decode_waveform(raw.astype(np.float64), 16000)
+    res = decode_waveform_tpu(raw, 16000, wire="int16")
+    assert ref.status == res.status == 2
+    assert res.metadata["serial_no"] == truth["serial_no"]
+    assert res.overflow == 0
+    ca, cb = Counter(ref.hexframes), Counter(res.hexframes)
+    agree = sum((ca & cb).values()) / max(sum((ca | cb).values()), 1)
+    assert agree >= 0.98
+
+
 def test_highrate_device_decimation(tmp_path):
     """An 88.2 kHz int16 WAV decodes through the raw device path
     (conditioning + zero-phase decimation on device) and matches the
