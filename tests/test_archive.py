@@ -210,7 +210,9 @@ print("HOST_DONE", sys.argv[4], len(m["files"]))
     ]
     logs = []
     for p in procs:
-        out_text, _ = p.communicate(timeout=420)
+        # generous: ~200 s alone on this 1-core host, but 2x+ under
+        # xdist/load (timed out at 420 s twice in full-suite runs)
+        out_text, _ = p.communicate(timeout=1200)
         logs.append(out_text)
         assert p.returncode == 0, out_text[-2000:]
 
