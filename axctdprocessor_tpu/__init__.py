@@ -34,6 +34,9 @@ _EXPORTS = {
         "axctdprocessor_tpu.parallel.pipeline", "decode_batches_pipelined"),
     "reprocess_corpus": ("axctdprocessor_tpu.parallel.archive", "reprocess_corpus"),
     "AXCTDStreamDecoder": ("axctdprocessor_tpu.models.stream", "AXCTDStreamDecoder"),
+    "TPUStreamDecoder": ("axctdprocessor_tpu.models.stream_tpu", "TPUStreamDecoder"),
+    "decode_waveform_segmented": (
+        "axctdprocessor_tpu.models.segmented", "decode_waveform_segmented"),
     "DecoderConfig": ("axctdprocessor_tpu.utils.config", "DecoderConfig"),
     "resolve_settings": ("axctdprocessor_tpu.utils.config", "resolve_settings"),
 }
