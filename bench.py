@@ -167,7 +167,8 @@ def child_single(wire: str) -> None:
         res = decode_wav_tpu(WAV, wire=wire)
         times.append(time.perf_counter() - t0)
     assert abs(len(res.hexframes) - n_frames) <= 0.01 * n_frames
-    print(f"WALL {min(times):.6f} FRAMES {n_frames} WIRE {res.wire}")
+    print(f"WALL {min(times):.6f} FRAMES {n_frames} WIRE {res.wire} "
+          f"AGREE {agree:.4f}")
 
 
 def child_resident() -> None:
@@ -247,7 +248,8 @@ def child_resident() -> None:
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    print(f"WALL {min(times):.6f} FRAMES {len(res.hexframes)}")
+    print(f"WALL {min(times):.6f} FRAMES {len(res.hexframes)} "
+          f"AGREE {agree:.4f}")
 
 
 def child_batch() -> None:
@@ -311,16 +313,65 @@ def child_corpus() -> None:
 
 
 def _run_child(mode: str, timeout: float = 2400.0):
-    """Run one metric in a fresh interpreter; returns wall seconds."""
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", mode],
-        capture_output=True, text=True, timeout=timeout,
-        cwd=os.path.dirname(os.path.abspath(__file__)))
+    """Run one metric in a fresh interpreter; returns (wall_s, agree).
+
+    ``agree`` is the child's frame agreement vs the parity engine, or
+    None for modes that don't print one.  A hung child (relay outage)
+    raises RuntimeError like any other failure — never TimeoutExpired
+    (round 3's bench died on exactly that unhandled exception).
+    """
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", mode],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired as e:
+        raise RuntimeError(f"child {mode} hung (> {timeout:.0f} s)") from e
     for line in (proc.stdout or "").splitlines():
         if line.startswith("WALL "):
-            return float(line.split()[1])
+            toks = line.split()
+            wall = float(toks[1])
+            agree = (float(toks[toks.index("AGREE") + 1])
+                     if "AGREE" in toks else None)
+            return wall, agree
     raise RuntimeError(
         f"child {mode} rc={proc.returncode}: {proc.stderr[-2000:]}")
+
+
+def _probe_backend(max_attempts: int = 30) -> bool:
+    """Wait out a relay outage.  Probed in a SUBPROCESS (jax caches a
+    failed backend init for the life of a process) with BOTH observed
+    outage modes handled: error exit AND indefinite hang (round 3's
+    bench crashed on the hang mode — TimeoutExpired was unhandled)."""
+    for attempt in range(max_attempts):
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=180)
+            if probe.returncode == 0:
+                return True
+            msg = (probe.stderr.strip().splitlines()[-1]
+                   if probe.stderr else "?")
+        except subprocess.TimeoutExpired:
+            msg = "probe hung > 180 s"
+        print(f"# backend unavailable (attempt {attempt + 1}): {msg}",
+              file=sys.stderr)
+        time.sleep(60)
+    return False
+
+
+def _try_child(mode: str, attempts: int = 2, timeout: float = 2400.0):
+    """(wall, agree) or (None, None); waits out mid-run outages between
+    attempts so one relay blip can't null a metric."""
+    for i in range(attempts):
+        try:
+            return _run_child(mode, timeout=timeout)
+        except Exception as e:
+            print(f"# child {mode} attempt {i + 1}/{attempts} failed: {e}",
+                  file=sys.stderr)
+            if i + 1 < attempts:
+                _probe_backend(max_attempts=10)
+    return None, None
 
 
 def main():
@@ -336,67 +387,71 @@ def main():
             child_batch()
         elif mode == "corpus":
             child_corpus()
+        elif mode == "smoke":
+            print(f"WALL {0.0 if pallas_smoke() else -1.0:.6f}")
         else:
             raise SystemExit(f"unknown child mode {mode}")
         return
 
     # the relay backend has outage windows (observed: init raises
-    # UNAVAILABLE for tens of minutes); wait it out rather than crashing
-    # an unattended bench run.  Probed in a SUBPROCESS: jax caches a
-    # failed backend init for the life of the process, so an in-process
-    # retry would keep failing after the relay returns.
-    for attempt in range(30):
-        probe = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True, text=True, timeout=600)
-        if probe.returncode == 0:
-            break
-        print(f"# backend unavailable (attempt {attempt + 1}): "
-              f"{probe.stderr.strip().splitlines()[-1] if probe.stderr else '?'}",
-              file=sys.stderr)
-        time.sleep(60)
+    # UNAVAILABLE for tens of minutes, OR hangs); wait them out rather
+    # than crashing an unattended bench run.
+    backend_ok = _probe_backend()
 
-    smoke = pallas_smoke()
+    # everything below must not import jax in THIS process: host-side
+    # prep is numpy-only, and all device work happens in retried,
+    # timeout-bounded children — the bench always prints its JSON line.
     _write_drop()
     _parity_frames()  # correctness reference for the timed children
 
-    wall = _run_child("single_auto")
-    rtf = DURATION / wall
+    smoke_wall, _ = _try_child("smoke")  # Pallas-vs-MXU hardware check
+    smoke = smoke_wall == 0.0
 
-    try:
-        int8_rtf = round(DURATION / _run_child("single_int8"), 1)
-    except Exception:
-        int8_rtf = None  # lossless-class reference wire child failed
+    wall, agree_auto = _try_child("single_auto", attempts=3)
+    wall_int8, agree_int8 = _try_child("single_int8")
+    int8_rtf = round(DURATION / wall_int8, 1) if wall_int8 else None
 
-    try:
-        resident_rtf = round(DURATION / _run_child("resident"), 1)
-    except Exception:
-        resident_rtf = None
+    wall_res, agree_res = _try_child("resident")
+    resident_rtf = round(DURATION / wall_res, 1) if wall_res else None
 
-    batch_wall = _run_child("batch")
-    batch_rtf = BATCH_DROPS * BATCH_SECONDS / batch_wall
+    batch_wall, _ = _try_child("batch", attempts=3)
+    batch_rtf = (round(BATCH_DROPS * BATCH_SECONDS / batch_wall, 1)
+                 if batch_wall else None)
 
-    try:
-        corpus_wall = _run_child("corpus")
-        corpus_rtf = round(CORPUS_DROPS * BATCH_SECONDS / corpus_wall, 1)
-    except Exception:
-        corpus_wall, corpus_rtf = None, None
+    corpus_wall, _ = _try_child("corpus")
+    corpus_rtf = (round(CORPUS_DROPS * BATCH_SECONDS / corpus_wall, 1)
+                  if corpus_wall else None)
+
+    # headline: the default-wire single-file decode; degrade to the
+    # lossless int8 wire if the auto child never succeeded, so a partial
+    # outage still records a real measured number instead of nothing.
+    if wall is not None:
+        rtf, headline_wire = DURATION / wall, "int4-ns"
+    elif wall_int8 is not None:
+        rtf, headline_wire = DURATION / wall_int8, "int8"
+        wall = wall_int8
+    else:
+        rtf, headline_wire = 0.0, None  # relay never came back
 
     print(json.dumps({
         "metric": "decode_realtime_factor",
         "value": round(rtf, 1),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / REFERENCE_RTF, 2),
-        "single_wall_s": round(wall, 3),
-        "wire_auto": "int4-ns",
+        "single_wall_s": round(wall, 3) if wall else None,
+        "wire_auto": headline_wire,
+        "frame_agreement_auto": agree_auto,
+        "frame_agreement_int8": agree_int8,
+        "frame_agreement_resident": agree_res,
         "int8_rtf": int8_rtf,
         "resident_rtf": resident_rtf,
-        "batch_rtf": round(batch_rtf, 1),
+        "batch_rtf": batch_rtf,
         "batch_drops": BATCH_DROPS,
-        "batch_wall_s": round(batch_wall, 3),
+        "batch_wall_s": round(batch_wall, 3) if batch_wall else None,
         "corpus_rtf": corpus_rtf,
         "corpus_drops": CORPUS_DROPS,
         "pallas_smoke": bool(smoke),
+        "backend_ok": bool(backend_ok),
     }))
 
 

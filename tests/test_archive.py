@@ -174,6 +174,7 @@ def test_mixed_encoding_batch_not_demoted(corpus, tmp_path):
         text = open(os.path.join(out, name)).read()
         assert "Probe Serial: 00123456" in text, name
 
+@pytest.mark.slow
 def test_multihost_two_process_jax_distributed(corpus, tmp_path):
     """Real jax.distributed coordination: a coordinator + worker process
     pair on localhost each decode their disjoint corpus slice; merged

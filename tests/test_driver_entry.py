@@ -1,0 +1,191 @@
+"""Driver-entry robustness: the artifacts of record must survive relay
+outages.
+
+Round 3 lost BOTH driver artifacts to the same outage:
+
+- ``bench.py`` probed the relay with ``subprocess.run(timeout=600)`` and
+  crashed on the unhandled ``TimeoutExpired`` when the relay HUNG
+  instead of erroring (BENCH_r03 rc=1);
+- ``__graft_entry__.dryrun_multichip`` imported jax (axon plugin) in the
+  parent process to count devices, blocking on relay init before it ever
+  reached its virtual-CPU bootstrap (MULTICHIP_r03 rc=124).
+
+These tests pin the fixes: bootstrap decisions come from the environment
+only, and the bench tolerates hung probes/children.  The poisoned-backend
+test runs the REAL ``dryrun_multichip`` bootstrap decision with a fake
+``jax`` module on PYTHONPATH that explodes on import — if any parent-
+process code path touches jax before re-launching on the CPU mesh, it
+fails loudly.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __graft_entry__ as graft  # noqa: E402
+
+
+def _with_env(monkeypatch, **env):
+    for k in ("_AXCTD_DRYRUN_BOOTSTRAPPED", "PYTHONPATH", "JAX_PLATFORMS",
+              "XLA_FLAGS"):
+        monkeypatch.delenv(k, raising=False)
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+
+
+class TestNeedsBootstrap:
+    def test_axon_plugin_on_pythonpath_always_bootstraps(self, monkeypatch):
+        _with_env(monkeypatch, PYTHONPATH="/x/.axon_site:/root/repo",
+                  JAX_PLATFORMS="cpu",
+                  XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        assert graft._needs_bootstrap(8) is True
+
+    def test_tpu_platform_bootstraps(self, monkeypatch):
+        _with_env(monkeypatch, JAX_PLATFORMS="axon")
+        assert graft._needs_bootstrap(8) is True
+
+    def test_cpu_mesh_big_enough_runs_in_process(self, monkeypatch):
+        _with_env(monkeypatch, JAX_PLATFORMS="cpu",
+                  XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        assert graft._needs_bootstrap(8) is False
+        assert graft._needs_bootstrap(4) is False
+
+    def test_cpu_mesh_too_small_bootstraps(self, monkeypatch):
+        _with_env(monkeypatch, JAX_PLATFORMS="cpu",
+                  XLA_FLAGS="--xla_force_host_platform_device_count=4")
+        assert graft._needs_bootstrap(8) is True
+
+    def test_no_flags_bootstraps(self, monkeypatch):
+        _with_env(monkeypatch)
+        assert graft._needs_bootstrap(8) is True
+
+    def test_bootstrapped_flag_wins(self, monkeypatch):
+        _with_env(monkeypatch, _AXCTD_DRYRUN_BOOTSTRAPPED="1",
+                  PYTHONPATH="/x/.axon_site")
+        assert graft._needs_bootstrap(8) is False
+
+    def test_decision_never_imports_jax(self, monkeypatch):
+        """The decision path must not import jax at all — with the relay
+        hung, ``import jax`` + backend init blocks indefinitely."""
+        _with_env(monkeypatch, PYTHONPATH="/x/.axon_site")
+        monkeypatch.setitem(sys.modules, "jax", None)  # import would raise
+        assert graft._needs_bootstrap(8) is True
+
+
+def test_dryrun_bootstrap_with_poisoned_backend(tmp_path):
+    """``dryrun_multichip`` must reach its CPU-mesh re-launch even when
+    the TPU plugin's jax import would hang/explode (relay unplugged).
+
+    A fake ``jax`` package that raises on import sits on PYTHONPATH in a
+    ``.axon_site`` directory (exactly how the real plugin is injected).
+    The parent must not trip it; the bootstrap child strips the path.
+    The child itself is stubbed (we assert the LAUNCH happens and the
+    poisoned path is stripped — the real 8-device decode is covered by
+    the driver and the parallel tests)."""
+    poison = tmp_path / "fake.axon_site"
+    poison.mkdir()
+    (poison / "jax.py").write_text(
+        "raise RuntimeError('poisoned backend touched in parent process')")
+    driver = tmp_path / "drive.py"
+    driver.write_text(textwrap.dedent("""
+        import os, sys
+        sys.path.insert(0, %r)
+        import __graft_entry__ as g
+
+        launched = {}
+        def fake_run(cmd, env=None, cwd=None, **kw):
+            assert ".axon_site" not in env.get("PYTHONPATH", "")
+            assert env.get("JAX_PLATFORMS") == "cpu"
+            assert "xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+            launched["ok"] = True
+            class P: returncode = 0
+            return P()
+        g.subprocess.run = fake_run
+        g.dryrun_multichip(8)
+        assert launched.get("ok"), "bootstrap subprocess never launched"
+        import jax  # noqa: F401 -- MUST raise: poisoned module on path
+    """) % REPO)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{poison}"
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("_AXCTD_DRYRUN_BOOTSTRAPPED", None)
+    proc = subprocess.run([sys.executable, str(driver)], env=env,
+                          capture_output=True, text=True, timeout=120)
+    # the final poisoned import proves the fake jax was live the whole
+    # time; everything before it must have succeeded without tripping it
+    assert "poisoned backend touched in parent process" in proc.stderr
+    assert "bootstrap subprocess never launched" not in proc.stderr
+    assert "AssertionError" not in proc.stderr
+
+
+class TestBenchOutageHandling:
+    def test_probe_handles_hang(self, monkeypatch):
+        import bench
+
+        calls = {"n": 0}
+
+        def hang_then_ok(cmd, timeout=None, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise subprocess.TimeoutExpired(cmd, timeout)
+
+            class P:
+                returncode = 0
+                stderr = ""
+            return P()
+
+        monkeypatch.setattr(bench.subprocess, "run", hang_then_ok)
+        monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+        assert bench._probe_backend(max_attempts=5) is True
+        assert calls["n"] == 2
+
+    def test_probe_gives_up_without_raising(self, monkeypatch):
+        import bench
+
+        def always_hang(cmd, timeout=None, **kw):
+            raise subprocess.TimeoutExpired(cmd, timeout)
+
+        monkeypatch.setattr(bench.subprocess, "run", always_hang)
+        monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+        assert bench._probe_backend(max_attempts=3) is False
+
+    def test_run_child_converts_hang_to_runtimeerror(self, monkeypatch):
+        import bench
+
+        def always_hang(cmd, timeout=None, **kw):
+            raise subprocess.TimeoutExpired(cmd, timeout)
+
+        monkeypatch.setattr(bench.subprocess, "run", always_hang)
+        with pytest.raises(RuntimeError, match="hung"):
+            bench._run_child("single_auto", timeout=1.0)
+
+    def test_try_child_returns_none_on_persistent_failure(self, monkeypatch):
+        import bench
+
+        def always_hang(cmd, timeout=None, **kw):
+            raise subprocess.TimeoutExpired(cmd, timeout)
+
+        monkeypatch.setattr(bench.subprocess, "run", always_hang)
+        monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+        wall, agree = bench._try_child("single_auto", attempts=2, timeout=1.0)
+        assert wall is None and agree is None
+
+    def test_run_child_parses_agreement(self, monkeypatch):
+        import bench
+
+        def fake_run(cmd, timeout=None, **kw):
+            class P:
+                returncode = 0
+                stdout = "warm\nWALL 1.25 FRAMES 1500 WIRE int4-ns AGREE 0.9987\n"
+                stderr = ""
+            return P()
+
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        wall, agree = bench._run_child("single_auto")
+        assert wall == 1.25 and agree == 0.9987

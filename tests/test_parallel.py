@@ -130,6 +130,7 @@ def test_timeshard_int16_device_conditioning(default_drop_wav):
     np.testing.assert_array_equal(res_raw.temperature, res_f32.temperature)
 
 
+@pytest.mark.slow
 def test_timeshard_long_file():
     """SP exists for the longest files: a >300 s drop through the
     dp1 x sp8 front end (overlap-save FFT filtering per block — the

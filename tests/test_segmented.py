@@ -106,6 +106,7 @@ def test_bucket_count():
         assert b >= k and b <= max(int(np.ceil(k * 1.25)), k + 1)
 
 
+@pytest.mark.slow
 def test_auto_route_over_300s_matches_parity():
     """The auto-segment route (decode_waveform_tpu, files > 300 s) is the
     path every real ~10-min drop takes; exercise it end-to-end at 310 s
