@@ -54,7 +54,18 @@ BIG_N = np.int32(2 ** 30)  # "no end in sight" valid-length for interior segs
 class TPUStreamDecoder:
     """Incremental AXCTD decoder: segmented TPU engine fed push-style."""
 
-    def __init__(self, fs, config: DecoderConfig | None = None):
+    def __init__(self, fs, config: DecoderConfig | None = None,
+                 max_duration: float | None = None):
+        """``max_duration`` (seconds) pins + pre-warms the decode programs
+        for a stream up to that length: every ``results()`` snapshot
+        assembles at ONE max-size bucket, compiled (and first-D2H-warmed)
+        HERE, so no snapshot ever stalls on a fresh XLA compile mid-drop
+        (on the relay a fresh assemble compile is minutes — fatal for a
+        live receiver).  Streams may still run past ``max_duration``;
+        only then do larger buckets compile on demand.  Without it,
+        snapshots grow through the O(log) bucket ladder, compiling each
+        size the first time it is hit (fine offline, where the
+        persistent compile cache has already seen every bucket)."""
         self.cfg = config or DecoderConfig()
         self._fs_in = fs
         self._decim2 = float(fs) > 50000.0
@@ -95,6 +106,17 @@ class TPUStreamDecoder:
         self._next_k = 0          # first segment not yet dispatched
         self._finalized = False
         self._consumed_rows = 0
+
+        self._pin_bucket = 0
+        if max_duration is not None:
+            n_seg_max = max(int(np.ceil(max_duration * self.fs
+                                        / self._seg_len)), 1)
+            self._pin_bucket = seg._bucket_count(n_seg_max)
+            # compile + execute the two programs a snapshot needs (the
+            # zero-segment stage-1 program and the pinned assemble), and
+            # force the fetch: the first D2H of a process is minutes on
+            # the relay and must not land on the first real snapshot
+            self._assemble(0, 0)
 
     # -- feeding -----------------------------------------------------------
 
@@ -141,7 +163,7 @@ class TPUStreamDecoder:
     def _assemble(self, n_seg: int, nv_dec: int) -> DecodeResult:
         cfg = self.cfg
         n_seg = max(n_seg, 1)
-        n_seg_pad = seg._bucket_count(n_seg)
+        n_seg_pad = max(seg._bucket_count(n_seg), self._pin_bucket)
         dims = eng.EngineDims.for_waveform(n_seg_pad * self._seg_len,
                                            self.fs, cfg.bitrate, self._npcm)
         outs = list(self._outs[:n_seg])

