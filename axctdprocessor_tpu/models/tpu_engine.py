@@ -53,7 +53,6 @@ import jax.numpy as jnp
 from ..ops import chain as chain_ops
 from ..ops import crc as crc_ops
 from ..ops import goertzel, iir
-from ..ops.seawater import sp_from_c
 from ..utils.config import DecoderConfig, resolve_settings
 from ..utils.lut import load_temp_lut
 from . import frames as frames_host
@@ -355,8 +354,20 @@ def _masked_percentile(x, mask, q, max_n):
 
 
 def stage2_core(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
-                profstart, tcoeff, ccoeff, zcoeff, temp_lut, limits,
-                dims: EngineDims, fs: float):
+                profstart, dims: EngineDims, fs: float):
+    """Profile frame sync on device; science conversion + QC run on the
+    HOST (attach_profile) from the lean per-frame outputs.
+
+    The device ships only what it alone can produce — frame words, frame
+    start samples, per-frame tone ratios — because (a) the packed result
+    is the decode's one D2H transfer and this halves it (486 -> 245 KB
+    at 600 s scale; the relay fetch is a top-3 wall item), and (b) the
+    reference converts and QCs in float64 on the host
+    (parse.py:103-147, AXCTDprocessor.py:559-609) — doing the same in
+    numpy from the exact frame integers is parity-faithful by
+    construction, where the old on-device float32 conversion could flip
+    a rounded 2-decimal digit.  20k rows of host numpy is microseconds;
+    the MXU has nothing to add."""
     me = dims.max_edges
     idx = jnp.arange(me)
 
@@ -395,46 +406,16 @@ def stage2_core(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
         word = (word << 1) | bext32[k : k + me]
     # frame hex ships as one packed uint32 per frame (host formats %08x)
     hexpack = word[starts]
-    cint = ((hexpack >> 18) & 0xFFF).astype(jnp.int32)   # frame bits 2:14
-    tint = ((hexpack >> 6) & 0xFFF).astype(jnp.int32)    # frame bits 14:26
 
-    times_raw = (edges_p[starts] - profstart) / fs
-    frame_valid = jnp.arange(dims.max_frames) < n_frames
-
-    # 4. science conversion
-    z = zcoeff[0] + times_raw * (zcoeff[1] + times_raw * (zcoeff[2] + times_raw * zcoeff[3]))
-    t_uncal = temp_lut[jnp.clip(tint, 0, temp_lut.shape[0] - 1)]
-    c_uncal = cint.astype(z.dtype) * 60.0 / 4096.0
-    temp = tcoeff[0] + t_uncal * (tcoeff[1] + t_uncal * (tcoeff[2] + t_uncal * tcoeff[3]))
-    cond = ccoeff[0] + c_uncal * (ccoeff[1] + c_uncal * (ccoeff[2] + c_uncal * ccoeff[3]))
-    psal = sp_from_c(cond, temp, z)
-
-    times = jnp.round(times_raw + profstart / fs, 2)
-    z = jnp.round(z, 2)
-    temp = jnp.round(temp, 2)
-    cond = jnp.round(cond, 2)
-    psal = jnp.round(psal, 2)
+    # 4. lean per-frame outputs: absolute frame-start samples (exact
+    # ints; the host recovers times_raw = (edge - profstart)/fs in
+    # float64) and the 2-decimal tone ratios the QC gates on
+    edge_at = edges_p[starts].astype(jnp.int32)
     fr400 = jnp.round(bit_r400[starts], 2)
     fr7500 = jnp.round(bit_r7500[starts], 2)
 
-    # 5. QC: bounds then spike (masked percentiles)
-    min_dr7500_prof, min_r400_prof, tlo, thi, slo, shi = (limits[i] for i in range(6))
-    good = frame_valid & ~(
-        (fr7500 < min_dr7500_prof) | (fr400 < min_r400_prof)
-        | (temp < tlo) | (temp > thi) | (psal < slo) | (psal > shi)
-    )
-    thresh, off = 10.0, 35.0
-    t_med = _masked_percentile(temp, good, 50.0, dims.max_frames)
-    t_lo = t_med - thresh * (t_med - _masked_percentile(temp, good, 50.0 - off, dims.max_frames))
-    t_hi = t_med + thresh * (_masked_percentile(temp, good, 50.0 + off, dims.max_frames) - t_med)
-    s_med = _masked_percentile(psal, good, 50.0, dims.max_frames)
-    s_lo = s_med - thresh * (s_med - _masked_percentile(psal, good, 50.0 - off, dims.max_frames))
-    s_hi = s_med + thresh * (_masked_percentile(psal, good, 50.0 + off, dims.max_frames) - s_med)
-    good &= ~((temp < t_lo) | (temp > t_hi) | (psal < s_lo) | (psal > s_hi))
-
-    return dict(times=times, depth=z, temp=temp, cond=cond, psal=psal,
-                r400=fr400, r7500=fr7500, hexpack=hexpack, good=good,
-                frame_valid=frame_valid, n_frames=n_frames, consumed=consumed,
+    return dict(edges=edge_at, r400=fr400, r7500=fr7500, hexpack=hexpack,
+                n_frames=n_frames, consumed=consumed,
                 overflow=sync_ovf << 2)  # bits 2-3: accept/frame tables
 
 
@@ -547,15 +528,13 @@ def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
     v3, ok3, _, _, crash3 = hdr.decode_coefficients(h3_found, h3_frames)
     ok2 &= ~crash2  # upstream int() ValueError discards the whole header
     ok3 &= ~crash3
-    live_z, live_t, live_c = hdr.merge_live_coeffs(v2, ok2, v3, ok3,
-                                                   coeff_defaults)
+    del v2, ok2, v3, ok3  # decoded on host from the shipped raw headers;
+    # the device merge (ops.header_device.merge_live_coeffs) remains
+    # available for fully device-resident pipelines
 
     out = stage2_core(s15["bits"], n_edges - 1, edge_samples, r400, r7500,
-                      mean7500, profstart, live_t, live_c, live_z,
-                      temp_lut, limits, dims, fs)
+                      mean7500, profstart, dims, fs)
     gate = profstart >= 0
-    frame_valid = out["frame_valid"] & gate
-    good = out["good"] & gate
 
     ovf = (jnp.asarray(0, jnp.int32) if overflow0 is None
            else overflow0.astype(jnp.int32))
@@ -565,10 +544,11 @@ def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
     # the whole result tree packs into ONE int32 vector: device->host
     # transfers over the relay cost ~10 ms latency per leaf regardless
     # of size (measured: 21 leaves 0.30 s vs 1 leaf 0.08 s for the same
-    # 1.6 MB), and every profile value is 2-decimal by contract, so the
-    # five small-range row fields ship as int16 centi-units (NaN ->
-    # -32768 sentinel) and times/depth as int32 centi-units — exact
-    # after the device's own round(x, 2), at 40% of the float32 bytes.
+    # 1.6 MB).  Per frame only 3 words ship — the u32 frame word, the
+    # exact frame-start sample, and the two QC tone ratios as int16
+    # centi-units (2-decimal by contract; NaN -> -32768 sentinel) —
+    # science conversion and QC happen on the host in float64
+    # (attach_profile), exactly like the reference.
     hdr = jnp.concatenate([
         h2_found.astype(jnp.int32), h3_found.astype(jnp.int32),
         h2_frames.reshape(-1), h3_frames.reshape(-1)])
@@ -582,17 +562,9 @@ def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
         return jnp.where(jnp.isnan(x), -32768, v.astype(jnp.int32)) \
             .astype(jnp.int16)
 
-    def fix32(x):
-        lim = 2.0 ** 31 - 256.0
-        return jnp.clip(jnp.round(x * 100.0), -lim, lim).astype(jnp.int32)
-
-    flags = (good.astype(jnp.int16)
-             | (frame_valid.astype(jnp.int16) << 1))
-    six16 = jnp.stack([fix16(out["temp"]), fix16(out["cond"]),
-                       fix16(out["psal"]), fix16(out["r400"]),
-                       fix16(out["r7500"]), flags])
-    six_i32 = jax.lax.bitcast_convert_type(
-        six16.reshape(-1, 2), jnp.int32)
+    rat16 = jnp.stack([fix16(out["r400"]), fix16(out["r7500"])])
+    rat_i32 = jax.lax.bitcast_convert_type(
+        rat16.reshape(-1, 2), jnp.int32)
     # explicit int32 on every part: under x64 a weakly-typed int in any
     # component would promote the whole concatenate to int64 and the
     # host's fixed-width views would misparse the buffer
@@ -600,7 +572,7 @@ def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
              jax.lax.bitcast_convert_type(scal_f, jnp.int32),
              hdr,
              jax.lax.bitcast_convert_type(out["hexpack"], jnp.int32),
-             fix32(out["times"]), fix32(out["depth"]), six_i32]
+             out["edges"], rat_i32]
     return jnp.concatenate([p.astype(jnp.int32) for p in parts])
 
 
@@ -675,23 +647,53 @@ def qc_limits(cfg: DecoderConfig, dtype=np.float32) -> np.ndarray:
                       dtype=dtype)
 
 
-def attach_profile(result: DecodeResult, rows: np.ndarray,
-                   hexpack: np.ndarray) -> DecodeResult:
-    """Fold the packed stage-2 rows into a DecodeResult (host format)."""
-    rows = np.asarray(rows)
-    good = rows[7] > 0.5
-    frame_valid = rows[8] > 0.5
-    result.time = list(rows[0][good])
-    result.depth = list(rows[1][good])
-    result.temperature = list(rows[2][good])
-    result.conductivity = list(rows[3][good])
-    result.salinity = list(rows[4][good])
-    result.r400 = list(rows[5][good])
-    result.r7500 = list(rows[6][good])
+def attach_profile(result: DecodeResult, out: dict, cfg: DecoderConfig,
+                   fs: float, profstart: int, live: dict) -> DecodeResult:
+    """Science conversion + QC on the host, float64, from the lean
+    per-frame device outputs (frame words, start samples, tone ratios).
+
+    Mirrors the reference's host profile stage exactly — ascending
+    polynomial evaluation, LUT gather, PSS-78, round to 2 decimals, THEN
+    the bounds filter and the spike filter over the survivors
+    (parse.py:103-147, AXCTDprocessor.py:559-609; same code path as
+    models.parity_engine via models.convert)."""
+    from . import convert
+
+    n_frames = int(out["scal_i"][2])
+    hexpack = np.asarray(out["hexpack"][:n_frames])
+    edges = np.asarray(out["edges"][:n_frames], dtype=np.int64)
+    fr = np.asarray(out["ratios"][:, :n_frames], dtype=np.float64)
+    fr[fr == -32768] = np.nan  # int16 NaN sentinel
+    r400, r7500 = fr / 100.0
+
+    tint = (hexpack >> 6) & 0xFFF    # frame bits 14:26
+    cint = (hexpack >> 18) & 0xFFF   # frame bits 2:14
+    times_raw = (edges - profstart) / fs
+    temps, conds, psals, depths = convert.ints_to_observations(
+        tint, cint, times_raw, load_temp_lut(),
+        live["tcoeff"], live["ccoeff"], live["zcoeff"])
+
+    times = np.round(times_raw + profstart / fs, 2)
+    depths = np.round(depths, 2)
+    temps = np.round(temps, 2)
+    conds = np.round(conds, 2)
+    psals = np.round(psals, 2)
+
+    good = convert.qc_bounds_mask(r400, r7500, temps, psals, cfg)
+    if np.any(good):
+        sub = np.flatnonzero(good)
+        good[sub] &= convert.qc_spike_mask(temps[sub], psals[sub])
+
+    result.time = list(times[good])
+    result.depth = list(depths[good])
+    result.temperature = list(temps[good])
+    result.conductivity = list(conds[good])
+    result.salinity = list(psals[good])
+    result.r400 = list(r400[good])
+    result.r7500 = list(r7500[good])
     # hexframes bypass QC (upstream contract); hexframes_qc is aligned
-    packed = np.asarray(hexpack).view(np.uint32)
-    result.hexframes = [f"{w:08x}" for w in packed[frame_valid]]
-    result.hexframes_qc = [f"{w:08x}" for w in packed[good]]
+    result.hexframes = [f"{w:08x}" for w in hexpack]
+    result.hexframes_qc = [f"{w:08x}" for w in hexpack[good]]
     return result
 
 
@@ -702,29 +704,21 @@ _HEAD_LEN = 6 + 2 + _HDR_LEN  # scal_i + scal_f + hdr prefix
 
 def unpack_result(buf: np.ndarray) -> dict:
     """Inverse of back_half_core's single-vector packing: reconstruct
-    the {rows, hexpack, hdr, scal_i, scal_f} tree on the host (all
-    numpy views/divisions — microseconds)."""
+    the {hexpack, edges, ratios, hdr, scal_i, scal_f} tree on the host
+    (all numpy views — microseconds).  ``ratios`` stays in raw int16
+    centi-units (with the -32768 NaN sentinel); attach_profile decodes
+    only the valid prefix."""
     buf = np.ascontiguousarray(np.asarray(buf), dtype=np.int32)
-    mf = (buf.shape[0] - _HEAD_LEN) // 6
+    mf = (buf.shape[0] - _HEAD_LEN) // 3
     scal_i = buf[:6]
     scal_f = buf[6:8].view(np.float32)
     hdr = buf[8 : 8 + _HDR_LEN]
     off = _HEAD_LEN
     hexpack = buf[off : off + mf].view(np.uint32)
-    times = buf[off + mf : off + 2 * mf] / 100.0
-    depth = buf[off + 2 * mf : off + 3 * mf] / 100.0
-    six = buf[off + 3 * mf :].view(np.int16).reshape(6, mf)
-    fields = []
-    for a in six[:5]:
-        v = a.astype(np.float64) / 100.0
-        v[a == -32768] = np.nan
-        fields.append(v)
-    flags = six[5]
-    rows = np.stack([times, depth, *fields,
-                     (flags & 1).astype(np.float64),
-                     ((flags >> 1) & 1).astype(np.float64)])
-    return dict(rows=rows, hexpack=hexpack, hdr=hdr, scal_i=scal_i,
-                scal_f=scal_f)
+    edges = buf[off + mf : off + 2 * mf]
+    ratios = buf[off + 2 * mf :].view(np.int16).reshape(2, mf)
+    return dict(hexpack=hexpack, edges=edges, ratios=ratios, hdr=hdr,
+                scal_i=scal_i, scal_f=scal_f)
 
 
 def finish_result(out, fs_report, n: int, fs: float,
@@ -763,7 +757,7 @@ def finish_result(out, fs_report, n: int, fs: float,
     result.status = 2
     result.profstartind = profstart
     result.firstpointtime = profstart / fs
-    return attach_profile(result, out["rows"], out["hexpack"])
+    return attach_profile(result, out, cfg, fs, profstart, live)
 
 
 def trigger_scalars(r400: np.ndarray, r7500: np.ndarray, cfg: DecoderConfig,

@@ -158,7 +158,10 @@ def child_single(wire: str) -> None:
     parity = set(open(PARITY_CACHE).read().split())
     got = set(res.hexframes)
     agree = len(got & parity) / max(len(got | parity), 1)
-    floor = 0.97 if wire in ("int4", "auto") else 0.98
+    # every wire measures 1.0 on the bench drop (r4); the noise-shaped
+    # int4 wire tests >= 0.998 on noisy drops — hold the headline to
+    # int8-class correctness, not the old 0.97 concession
+    floor = 0.99
     assert agree > floor, f"frame agreement vs parity {agree:.4f} < {floor}"
 
     times = []

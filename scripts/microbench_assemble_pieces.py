@@ -121,6 +121,51 @@ def main():
 
     d = jax.jit(lambda pwr, g, q1, q2: upto_chain(pwr, g, q1, q2)[0])
 
+    def backhalf_upto(level: int):
+        """Cumulative in-context cuts INSIDE the back half: the isolated
+        microbench_backhalf pieces sum to ~21 ms, yet the in-program back
+        half measures ~165 ms — the overhead lives in composition
+        (layout/fusion choices XLA makes only in the full program), so
+        the decomposition must run in context."""
+
+        def f(pwr, g, q1, q2):
+            s, (r400, r7500, g_s, q1s, q2s, edge_idx, n_edges) = \
+                upto_chain(pwr, g, q1, q2)
+            safe = jnp.clip(edge_idx, 0, g_s.shape[0] - 1)
+            es, s1p, s2p = g_s[safe], q1s[safe], q2s[safe]
+            s = s + force(es, s1p, s2p)
+            if level == 0:  # + the 3 edge gathers over the 2M table
+                return s
+            fp, mean7500, profstart = eng.trigger_core(
+                r400, r7500, nv, params["trig_i"], params["trig_f"],
+                dims, FS)
+            s = s + force(fp, mean7500, profstart)
+            if level == 1:  # + trigger
+                return s
+            big = jnp.int32(2 ** 30)
+            lo_mask = jnp.asarray([True, False, True, False, True, False])
+            hb = jnp.where(fp >= 0, fp + params["hdr_rel"],
+                           jnp.where(lo_mask, big, -big))
+            s15 = eng.stage15_core(s1p, s2p, es, n_edges, hb,
+                                   fp + params["calib_off"], dims)
+            s = s + force(*s15.values())
+            if level == 2:  # + stage 1.5 (bits + calibration + windows)
+                return s
+            from axctdprocessor_tpu.ops import header_device as hdr_ops
+
+            h2f, h2fr, h2u = hdr_ops.parse_header_window(
+                s15["h2_bits"], s15["h2_n"])
+            h3f, h3fr, h3u = hdr_ops.parse_header_window(
+                s15["h3_bits"], s15["h3_n"])
+            s = s + force(h2f, h2fr, h2u, h3f, h3fr, h3u)
+            if level == 3:  # + header parse/decode
+                return s
+            out = eng.stage2_core(s15["bits"], n_edges - 1, es, r400,
+                                  r7500, mean7500, profstart, dims, FS)
+            return s + force(*out.values())
+
+        return jax.jit(f)
+
     def full(pwr, g, q1, q2):
         s, (r400, r7500, g_s, q1s, q2s, edge_idx, n_edges) = \
             upto_chain(pwr, g, q1, q2)
@@ -139,13 +184,24 @@ def main():
     tb = timeit(b, pw, gp, p1d, p2d)
     tc = timeit(c, pw, gp, p1d, p2d)
     td = timeit(d, pw, gp, p1d, p2d)
+    tg = timeit(backhalf_upto(0), pw, gp, p1d, p2d)
+    t1 = timeit(backhalf_upto(1), pw, gp, p1d, p2d)
+    t2 = timeit(backhalf_upto(2), pw, gp, p1d, p2d)
+    t3 = timeit(backhalf_upto(3), pw, gp, p1d, p2d)
+    t4 = timeit(backhalf_upto(4), pw, gp, p1d, p2d)
     te = timeit(e, pw, gp, p1d, p2d)
     print(f"dispatch overhead:      {base*1e3:6.1f} ms")
     print(f"power smoothing:        {(ta-base)*1e3:6.1f} ms")
     print(f"+ ragged merge (g+p):   {(tb-ta)*1e3:6.1f} ms")
     print(f"+ (merge force delta):  {(tc-tb)*1e3:6.1f} ms")
     print(f"+ bit-edge chain:       {(td-tc)*1e3:6.1f} ms")
-    print(f"+ back half:            {(te-td)*1e3:6.1f} ms")
+    print(f"+ edge gathers (3):     {(tg-td)*1e3:6.1f} ms")
+    print(f"+ trigger:              {(t1-tg)*1e3:6.1f} ms")
+    print(f"+ stage 1.5:            {(t2-t1)*1e3:6.1f} ms")
+    print(f"+ header parse:         {(t3-t2)*1e3:6.1f} ms")
+    print(f"+ stage 2:              {(t4-t3)*1e3:6.1f} ms")
+    print(f"+ pack (full-t4):       {(te-t4)*1e3:6.1f} ms")
+    print(f"back half (full-chain): {(te-td)*1e3:6.1f} ms")
     print(f"total (~assemble):      {(te-base)*1e3:6.1f} ms")
 
 

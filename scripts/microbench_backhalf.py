@@ -104,10 +104,7 @@ def main():
     t_s2 = timeit(jax.jit(
         lambda b, e, a, c: force(*eng.stage2_core(
             b, n_edges_d - 1, e, a, c, jnp.asarray(0.5, jnp.float32),
-            jnp.asarray(int(33 * FS), jnp.int32),
-            params["coeff_defaults"][1], params["coeff_defaults"][2],
-            params["coeff_defaults"][0], params["temp_lut"],
-            params["limits"], dims, FS).values())),
+            jnp.asarray(int(33 * FS), jnp.int32), dims, FS).values())),
         bits, edges_d, r400, r7500)
 
     # stage-2 primitives in isolation
