@@ -136,11 +136,16 @@ def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
         probes = goertzel.tone_power_at(
             fbody, jnp.clip(pos, 0, seg_len - 1) + bit_inset, npcm, btrig)
         gpos = jnp.where(pos < BIG, pos + k_off, BIG).astype(jnp.int32)
+        # ONE probe stream ships per crossing: the confidence ratio
+        # space/max(mark, eps) carries both the bit decision and the
+        # calibration histogram (eng.stage15_core) — half the probe
+        # merge traffic and one fewer 660k gather in the assemble
+        c0 = probes[:, 1] / jnp.maximum(probes[:, 0], 1e-30)
         # the true crossing count: the assemble program needs it for the
         # ragged merge (> c_seg signals truncation there; rovf flags a
         # row-cap truncation — a 128-sample run denser than the filter's
         # Rice bound — whose entries are missing even when cnt <= c_seg)
-        return powers, gpos, probes[:, 0], probes[:, 1], cnt, rovf
+        return powers, gpos, c0, cnt, rovf
 
     return jax.jit(run)
 
@@ -148,48 +153,55 @@ def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
 @functools.lru_cache(maxsize=8)
 def _assemble_program(n_seg: int, dims, fs: float, bitrate: float):
     """Concatenate per-segment outputs, merge crossings, run the
-    bit-edge chain, and hand off to the fused device back half."""
+    bit-edge chain, and hand off to the fused device back half.
+
+    Per-segment outputs arrive as TUPLES of the individual segment
+    buffers (a pytree — jit flattens it), NOT pre-stacked arrays: the
+    ragged merge writes each segment's buffer directly into the merged
+    table, so the (n_seg, c_seg) stacks never materialize and the six
+    eager ``jnp.stack`` dispatches (28 x ~8 MB of device copies per
+    decode) disappear from the host loop."""
     from jax import lax
 
-    def run(powers, gpos, p1, p2, cnt_seg, rovf_seg, n_valid, trig_i,
+    def run(powers_t, gpos_t, c0_t, cnt_t, rovf_t, n_valid, trig_i,
             trig_f, hdr_rel, calib_off, coeff_defaults, temp_lut, limits):
-        # powers: (n_seg, strides, F) -> global smoothed ratios
-        p = powers.reshape(-1, powers.shape[-1])
+        # powers: n_seg x (strides, F) -> global smoothed ratios
+        p = jnp.concatenate(powers_t, axis=0)
         sm = [iir.boxsmooth_lag(p[:, i], 5) for i in range(3)]
         r400 = jnp.log10(sm[0] / sm[2])
         r7500 = jnp.log10(sm[1] / sm[2])
 
         # Segments are time-ordered and sorted within, and each row's
-        # valid prefix length is known (cnt_seg) — so the merge is a
+        # valid prefix length is known (cnt_t) — so the merge is a
         # RAGGED CONCATENATION: ascending fixed-size dynamic_update_slice
         # writes, each overwriting the previous row's BIG tail.  That is
         # ~8 MB of sequential writes, replacing a 2M-element mask
         # compaction + survivor gather (measured ~25 ms) and letting the
-        # probe tables merge alongside so the bit-edge probes gather
+        # probe table merge alongside so the bit-edge probes gather
         # DIRECTLY (the composed slot re-gather cost another ~27 ms).
-        k_seg, c_seg = gpos.shape
+        k_seg = len(gpos_t)
+        c_seg = gpos_t[0].shape[0]
         m = k_seg * c_seg
+        cnt_seg = jnp.stack(cnt_t)
         cnts = jnp.minimum(cnt_seg, c_seg)
         coff = jnp.cumsum(cnts) - cnts
         n_cross = coff[-1] + cnts[-1]
         buf_g = jnp.full((m,), BIG, jnp.int32)
-        buf_p1 = jnp.zeros((m,), p1.dtype)
-        buf_p2 = jnp.zeros((m,), p2.dtype)
+        buf_c0 = jnp.zeros((m,), c0_t[0].dtype)
         for k in range(k_seg):
             at = (coff[k],)
-            buf_g = lax.dynamic_update_slice(buf_g, gpos[k], at)
-            buf_p1 = lax.dynamic_update_slice(buf_p1, p1[k], at)
-            buf_p2 = lax.dynamic_update_slice(buf_p2, p2[k], at)
+            buf_g = lax.dynamic_update_slice(buf_g, gpos_t[k], at)
+            buf_c0 = lax.dynamic_update_slice(buf_c0, c0_t[k], at)
         g_s = jnp.where(jnp.arange(m) < n_cross, buf_g, BIG)
 
         edge_idx, n_edges = chain_ops.enumerate_bit_edges(
             g_s, n_cross, fs, bitrate, dims.max_edges)
         safe = jnp.clip(edge_idx, 0, m - 1)
-        ovf0 = jnp.max((cnt_seg > c_seg).astype(jnp.int32)
-                       | rovf_seg.astype(jnp.int32))
+        ovf0 = jnp.max(jnp.stack([(cnt_t[k] > c_seg).astype(jnp.int32)
+                                  | rovf_t[k].astype(jnp.int32)
+                                  for k in range(k_seg)]))
         return eng.back_half_core(
-            r400, r7500, g_s[safe], n_edges,
-            buf_p1[safe], buf_p2[safe],
+            r400, r7500, g_s[safe], n_edges, buf_c0[safe],
             n_valid, trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
             temp_lut, limits, dims, fs, overflow0=ovf0)
 
@@ -348,14 +360,11 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
                                jnp.asarray(min(k, n_seg) * seg_len, jnp.int32),
                                nv_raw, pt, so, bt, ds))
 
-    def gather(i):
-        return jnp.stack([o[i] for o in outs])
-
     with timer.stage("assemble_dispatch"):
         assemble = _assemble_program(n_seg_pad, dims, fs, float(cfg.bitrate))
         params = eng.fused_inputs(cfg, fs)
-        out = assemble(gather(0), gather(1), gather(2), gather(3), gather(4),
-                       gather(5), nv_dec, params["trig_i"], params["trig_f"],
+        out = assemble(*[tuple(o[i] for o in outs) for i in range(5)],
+                       nv_dec, params["trig_i"], params["trig_f"],
                        params["hdr_rel"],
                        params["calib_off"], params["coeff_defaults"],
                        params["temp_lut"], params["limits"])

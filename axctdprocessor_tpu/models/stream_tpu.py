@@ -177,14 +177,11 @@ class TPUStreamDecoder:
                     self._pt, self._so, self._bt, self._ds)
             outs.append(self._zero_out)
 
-        def gather(i):
-            return jnp.stack([o[i] for o in outs])
-
         assemble = seg._assemble_program(n_seg_pad, dims, self.fs,
                                          float(cfg.bitrate))
         params = eng.fused_inputs(cfg, self.fs)
-        out = assemble(gather(0), gather(1), gather(2), gather(3), gather(4),
-                       gather(5), jnp.asarray(nv_dec, jnp.int32),
+        out = assemble(*[tuple(o[i] for o in outs) for i in range(5)],
+                       jnp.asarray(nv_dec, jnp.int32),
                        params["trig_i"], params["trig_f"], params["hdr_rel"],
                        params["calib_off"], params["coeff_defaults"],
                        params["temp_lut"], params["limits"])

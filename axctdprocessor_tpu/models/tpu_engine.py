@@ -256,12 +256,22 @@ def _use_pallas_default() -> bool:
 HEADER_WINDOW_BITS = 6144  # capacity for one header capture window's bits
 
 
-def stage15_core(s1, s2, edge_samples, n_edges, h_bounds, calib_cut,
+def stage15_core(c0, edge_samples, n_edges, h_bounds, calib_cut,
                  dims: EngineDims):
     """Demod decisions on device: calibrate the space-power scale from the
     header-1 confidence histogram (reference demodulate.py:124-157), call
     every bit, and compact the header-2/3 capture windows into small
     fixed-size buffers so the host only reads back ~12 KB.
+
+    ``c0`` is the per-bit unscaled confidence ratio
+    ``space_power / max(mark_power, 1e-30)`` — ONE stream instead of the
+    two raw probe powers, because both consumers reduce to it: the
+    calibration histogram bins ``conf = c0 * scale`` and the bit decision
+    ``mark >= space * eff`` is exactly ``c0 * eff <= 1`` (the reference's
+    ``p1 >= p2`` with the scale already folded into p2,
+    demodulate.py:80-82).  Shipping the ratio halves the probe-table
+    merge traffic and drops one 660k random gather from the assemble
+    program.
 
     `h_bounds` is int32[6]: (h1_lo, h1_hi, h2_lo, h2_hi, h3_lo, h3_hi)
     inclusive PCM-sample bounds of the three capture windows.
@@ -270,7 +280,7 @@ def stage15_core(s1, s2, edge_samples, n_edges, h_bounds, calib_cut,
     idx = jnp.arange(me)
     bit_valid = idx < n_edges - 1  # the final edge's bit is never emitted
     scale0 = jnp.float32(1.5)
-    conf0 = s2 * scale0 / jnp.maximum(s1, 1e-30)
+    conf0 = c0 * scale0
 
     # edge_samples is non-decreasing (ascending while valid, then the
     # repeated terminal value), so every capture window is a CONTIGUOUS
@@ -319,7 +329,7 @@ def stage15_core(s1, s2, edge_samples, n_edges, h_bounds, calib_cut,
     scale_new = jnp.where(ok, scale0 / threshold, scale0)
 
     eff = jnp.where(edge_samples <= calib_cut, scale0, scale_new)
-    bits = ((s1 >= s2 * eff) & bit_valid).astype(jnp.int32)
+    bits = ((c0 * eff <= 1.0) & bit_valid).astype(jnp.int32)
 
     bits_ext = jnp.concatenate(
         [bits, jnp.zeros((HEADER_WINDOW_BITS,), bits.dtype)])
@@ -497,7 +507,7 @@ def trigger_core(r400, r7500, n_valid, trig_i, trig_f, dims: EngineDims,
     return fp, mean7500, profstart
 
 
-def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
+def back_half_core(r400, r7500, edge_samples, n_edges, c0p, n_valid,
                    trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
                    temp_lut, limits, dims: EngineDims, fs: float,
                    overflow0=None):
@@ -505,6 +515,10 @@ def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
     scalars, bit decisions + calibration, header trim/sync/decode, live
     coefficient merge, and the profile stage.  Only the final result
     tree crosses to the host (one blocking transfer).
+
+    ``c0p`` is the per-edge confidence ratio
+    ``space/max(mark, 1e-30)`` (see stage15_core — one stream carries
+    both the bit decisions and the calibration histogram).
 
     ``overflow0`` carries the caller's stage-1 truncation bit (crossing
     capacity); the edge-table and frame-sync bits are added here and the
@@ -517,7 +531,7 @@ def back_half_core(r400, r7500, edge_samples, n_edges, s1p, s2p, n_valid,
     big = jnp.int32(2 ** 30)
     lo_mask = jnp.asarray([True, False, True, False, True, False])
     hb = jnp.where(fp >= 0, fp + hdr_rel, jnp.where(lo_mask, big, -big))
-    s15 = stage15_core(s1p, s2p, edge_samples, n_edges, hb, fp + calib_off,
+    s15 = stage15_core(c0p, edge_samples, n_edges, hb, fp + calib_off,
                        dims)
 
     h2_found, h2_frames, h2_usable = hdr.parse_header_window(
@@ -601,8 +615,9 @@ def fused_core(pcm, n_valid, power_trig, sos_arr, bit_trig, trig_i, trig_f,
     s1 = stage1_core(x, power_trig, sos_arr, bit_trig, dims, fs, bitrate,
                      bit_inset, edge_pad, use_pallas=use_pallas,
                      n_valid=n_valid)
+    c0 = s1["s2"] / jnp.maximum(s1["s1"], 1e-30)
     return back_half_core(s1["r400"], s1["r7500"], s1["edge_samples"],
-                          s1["n_edges"], s1["s1"], s1["s2"], n_valid,
+                          s1["n_edges"], c0, n_valid,
                           trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
                           temp_lut, limits, dims, fs,
                           overflow0=s1["overflow"])

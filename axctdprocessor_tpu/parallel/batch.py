@@ -94,7 +94,8 @@ def _batched_back_half(dims, fs):
     arrays."""
     def one(r400, r7500, edges, n_edges, s1p, s2p, n_valid, ovf0, trig_i,
             trig_f, hdr_rel, calib_off, coeff_defaults, temp_lut, limits):
-        return eng.back_half_core(r400, r7500, edges, n_edges, s1p, s2p,
+        c0 = s2p / jnp.maximum(s1p, 1e-30)  # see eng.stage15_core
+        return eng.back_half_core(r400, r7500, edges, n_edges, c0,
                                   n_valid, trig_i, trig_f, hdr_rel,
                                   calib_off, coeff_defaults, temp_lut,
                                   limits, dims, fs, overflow0=ovf0)

@@ -231,8 +231,8 @@ def child_resident() -> None:
     def run():
         outs = [seg_fn(exts[k] if k < n_seg else zero, dc, peak, koffs[k],
                        nv, pt, so, bt, ds) for k in range(n_seg_pad)]
-        stacked = [jnp.stack([o[i] for o in outs]) for i in range(6)]
-        out = assemble(*stacked, nv, params["trig_i"], params["trig_f"],
+        out = assemble(*[tuple(o[i] for o in outs) for i in range(5)],
+                       nv, params["trig_i"], params["trig_f"],
                        params["hdr_rel"], params["calib_off"],
                        params["coeff_defaults"], params["temp_lut"],
                        params["limits"])

@@ -60,12 +60,11 @@ def main():
     for k in range(n_seg):
         pos = np.sort(rng.choice(seg_len, n_fill, replace=False))
         gpos[k, :n_fill] = pos + k * seg_len
-    p1 = rng.random((n_seg_pad, c_seg)).astype(np.float32)
-    p2 = rng.random((n_seg_pad, c_seg)).astype(np.float32)
+    c0 = (rng.random((n_seg_pad, c_seg)).astype(np.float32) + 0.1)
 
     params = eng.fused_inputs(cfg, FS)
     nv = jnp.asarray(int(600 * FS), jnp.int32)
-    pw, gp, p1d, p2d = (jnp.asarray(a) for a in (powers, gpos, p1, p2))
+    pw, gp, c0d = (jnp.asarray(a) for a in (powers, gpos, c0))
 
     def smooth(pwr):
         p = pwr.reshape(-1, pwr.shape[-1])
@@ -75,7 +74,7 @@ def main():
     cnt_host = np.asarray((gpos < BIG).sum(axis=1), np.int32)
     cnt_d = jnp.asarray(cnt_host)
 
-    def merge(g, q1, q2):
+    def merge(g, q1):
         # production ragged-concatenation merge (segmented._assemble_program)
         from jax import lax
 
@@ -85,15 +84,13 @@ def main():
         coff = jnp.cumsum(cnts) - cnts
         n_cross = coff[-1] + cnts[-1]
         buf_g = jnp.full((m,), BIG, jnp.int32)
-        buf_p1 = jnp.zeros((m,), q1.dtype)
-        buf_p2 = jnp.zeros((m,), q2.dtype)
+        buf_c0 = jnp.zeros((m,), q1.dtype)
         for k in range(k_seg_):
             at = (coff[k],)
             buf_g = lax.dynamic_update_slice(buf_g, g[k], at)
-            buf_p1 = lax.dynamic_update_slice(buf_p1, q1[k], at)
-            buf_p2 = lax.dynamic_update_slice(buf_p2, q2[k], at)
+            buf_c0 = lax.dynamic_update_slice(buf_c0, q1[k], at)
         g_s = jnp.where(jnp.arange(m) < n_cross, buf_g, BIG)
-        return g_s, buf_p1, buf_p2, n_cross
+        return g_s, buf_c0, n_cross
 
     # every stage's FULL output folds into the scalar via sums, so XLA
     # cannot dead-code-eliminate the work behind a [0] index
@@ -101,25 +98,25 @@ def main():
         return sum(jnp.sum(a.astype(jnp.float32)) for a in arrs)
 
     a = jax.jit(lambda pwr: force(*smooth(pwr)))
-    b = jax.jit(lambda pwr, g, q1, q2: force(*smooth(pwr),
-                                             merge(g, q1, q2)[0]))
+    b = jax.jit(lambda pwr, g, q1: force(*smooth(pwr),
+                                         merge(g, q1)[0]))
 
-    def upto_probes(pwr, g, q1, q2):
+    def upto_probes(pwr, g, q1):
         r400, r7500 = smooth(pwr)
-        g_s, q1s, q2s, n_cross = merge(g, q1, q2)
-        return force(r400, r7500, g_s, q1s, q2s), \
-            (r400, r7500, g_s, q1s, q2s, n_cross)
+        g_s, q1s, n_cross = merge(g, q1)
+        return force(r400, r7500, g_s, q1s), \
+            (r400, r7500, g_s, q1s, n_cross)
 
-    c = jax.jit(lambda pwr, g, q1, q2: upto_probes(pwr, g, q1, q2)[0])
+    c = jax.jit(lambda pwr, g, q1: upto_probes(pwr, g, q1)[0])
 
-    def upto_chain(pwr, g, q1, q2):
-        s, (r400, r7500, g_s, q1s, q2s, n_cross) = upto_probes(pwr, g, q1, q2)
+    def upto_chain(pwr, g, q1):
+        s, (r400, r7500, g_s, q1s, n_cross) = upto_probes(pwr, g, q1)
         edge_idx, n_edges = chain_ops.enumerate_bit_edges(
             g_s, n_cross, FS, float(cfg.bitrate), dims.max_edges)
         return s + force(edge_idx), \
-            (r400, r7500, g_s, q1s, q2s, edge_idx, n_edges)
+            (r400, r7500, g_s, q1s, edge_idx, n_edges)
 
-    d = jax.jit(lambda pwr, g, q1, q2: upto_chain(pwr, g, q1, q2)[0])
+    d = jax.jit(lambda pwr, g, q1: upto_chain(pwr, g, q1)[0])
 
     def backhalf_upto(level: int):
         """Cumulative in-context cuts INSIDE the back half: the isolated
@@ -128,13 +125,13 @@ def main():
         (layout/fusion choices XLA makes only in the full program), so
         the decomposition must run in context."""
 
-        def f(pwr, g, q1, q2):
-            s, (r400, r7500, g_s, q1s, q2s, edge_idx, n_edges) = \
-                upto_chain(pwr, g, q1, q2)
+        def f(pwr, g, q1):
+            s, (r400, r7500, g_s, q1s, edge_idx, n_edges) = \
+                upto_chain(pwr, g, q1)
             safe = jnp.clip(edge_idx, 0, g_s.shape[0] - 1)
-            es, s1p, s2p = g_s[safe], q1s[safe], q2s[safe]
-            s = s + force(es, s1p, s2p)
-            if level == 0:  # + the 3 edge gathers over the 2M table
+            es, c0p = g_s[safe], q1s[safe]
+            s = s + force(es, c0p)
+            if level == 0:  # + the 2 edge gathers over the 2M table
                 return s
             fp, mean7500, profstart = eng.trigger_core(
                 r400, r7500, nv, params["trig_i"], params["trig_f"],
@@ -146,7 +143,7 @@ def main():
             lo_mask = jnp.asarray([True, False, True, False, True, False])
             hb = jnp.where(fp >= 0, fp + params["hdr_rel"],
                            jnp.where(lo_mask, big, -big))
-            s15 = eng.stage15_core(s1p, s2p, es, n_edges, hb,
+            s15 = eng.stage15_core(c0p, es, n_edges, hb,
                                    fp + params["calib_off"], dims)
             s = s + force(*s15.values())
             if level == 2:  # + stage 1.5 (bits + calibration + windows)
@@ -166,12 +163,12 @@ def main():
 
         return jax.jit(f)
 
-    def full(pwr, g, q1, q2):
-        s, (r400, r7500, g_s, q1s, q2s, edge_idx, n_edges) = \
-            upto_chain(pwr, g, q1, q2)
+    def full(pwr, g, q1):
+        s, (r400, r7500, g_s, q1s, edge_idx, n_edges) = \
+            upto_chain(pwr, g, q1)
         safe = jnp.clip(edge_idx, 0, g_s.shape[0] - 1)
         out = eng.back_half_core(
-            r400, r7500, g_s[safe], n_edges, q1s[safe], q2s[safe], nv,
+            r400, r7500, g_s[safe], n_edges, q1s[safe], nv,
             params["trig_i"], params["trig_f"], params["hdr_rel"],
             params["calib_off"], params["coeff_defaults"],
             params["temp_lut"], params["limits"], dims, FS)
@@ -181,21 +178,21 @@ def main():
 
     base = timeit(jax.jit(lambda pwr: pwr[0, 0, 0]), pw)
     ta = timeit(a, pw)
-    tb = timeit(b, pw, gp, p1d, p2d)
-    tc = timeit(c, pw, gp, p1d, p2d)
-    td = timeit(d, pw, gp, p1d, p2d)
-    tg = timeit(backhalf_upto(0), pw, gp, p1d, p2d)
-    t1 = timeit(backhalf_upto(1), pw, gp, p1d, p2d)
-    t2 = timeit(backhalf_upto(2), pw, gp, p1d, p2d)
-    t3 = timeit(backhalf_upto(3), pw, gp, p1d, p2d)
-    t4 = timeit(backhalf_upto(4), pw, gp, p1d, p2d)
-    te = timeit(e, pw, gp, p1d, p2d)
+    tb = timeit(b, pw, gp, c0d)
+    tc = timeit(c, pw, gp, c0d)
+    td = timeit(d, pw, gp, c0d)
+    tg = timeit(backhalf_upto(0), pw, gp, c0d)
+    t1 = timeit(backhalf_upto(1), pw, gp, c0d)
+    t2 = timeit(backhalf_upto(2), pw, gp, c0d)
+    t3 = timeit(backhalf_upto(3), pw, gp, c0d)
+    t4 = timeit(backhalf_upto(4), pw, gp, c0d)
+    te = timeit(e, pw, gp, c0d)
     print(f"dispatch overhead:      {base*1e3:6.1f} ms")
     print(f"power smoothing:        {(ta-base)*1e3:6.1f} ms")
     print(f"+ ragged merge (g+p):   {(tb-ta)*1e3:6.1f} ms")
     print(f"+ (merge force delta):  {(tc-tb)*1e3:6.1f} ms")
     print(f"+ bit-edge chain:       {(td-tc)*1e3:6.1f} ms")
-    print(f"+ edge gathers (3):     {(tg-td)*1e3:6.1f} ms")
+    print(f"+ edge gathers (2):     {(tg-td)*1e3:6.1f} ms")
     print(f"+ trigger:              {(t1-tg)*1e3:6.1f} ms")
     print(f"+ stage 1.5:            {(t2-t1)*1e3:6.1f} ms")
     print(f"+ header parse:         {(t3-t2)*1e3:6.1f} ms")

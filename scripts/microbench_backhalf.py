@@ -83,10 +83,11 @@ def main():
                                              params["trig_f"], dims, FS))),
         r400, r7500)
 
+    c0 = s2 / jnp.maximum(s1, 1e-30)
     t_s15 = timeit(jax.jit(
-        lambda a, b, e: force(*eng.stage15_core(
-            a, b, e, n_edges_d, hb, jnp.asarray(int(3 * FS), jnp.int32),
-            dims).values())), s1, s2, edges_d)
+        lambda a, e: force(*eng.stage15_core(
+            a, e, n_edges_d, hb, jnp.asarray(int(3 * FS), jnp.int32),
+            dims).values())), c0, edges_d)
 
     hbits = jnp.asarray((rng.random(eng.HEADER_WINDOW_BITS) < 0.5)
                         .astype(jnp.int32))

@@ -84,8 +84,8 @@ def main():
         def run():
             outs = [seg_fn(exts[k], dc, peak, koffs[k], nv, pt, so, bt, ds)
                     for k in range(n_seg_pad)]
-            stacked = [jnp.stack([o[i] for o in outs]) for i in range(6)]
-            out = assemble(*stacked, nv, params["trig_i"], params["trig_f"],
+            out = assemble(*[tuple(o[i] for o in outs) for i in range(5)],
+                           nv, params["trig_i"], params["trig_f"],
                            params["hdr_rel"], params["calib_off"],
                            params["coeff_defaults"], params["temp_lut"],
                            params["limits"])
@@ -99,7 +99,9 @@ def main():
 
         def run():
             stacked = vseg(exts_d, dc, peak, koffs_d, nv, pt, so, bt, ds)
-            out = assemble(*stacked, nv, params["trig_i"], params["trig_f"],
+            out = assemble(*[tuple(s[k] for k in range(n_seg_pad))
+                             for s in stacked],
+                           nv, params["trig_i"], params["trig_f"],
                            params["hdr_rel"], params["calib_off"],
                            params["coeff_defaults"], params["temp_lut"],
                            params["limits"])
@@ -115,6 +117,34 @@ def main():
         best = min(best, time.perf_counter() - t0)
     print(f"resident wall ({mode}): {best*1e3:.1f} ms "
           f"-> {WAV_SECONDS/best:.0f}x realtime")
+
+    # wall split (loop mode): host enqueue / device-complete (forced by a
+    # 4-byte fetch — block_until_ready is unreliable on the relay) / full
+    # result fetch.  Times the LAST run's phases; min over repeats.
+    if mode == "loop":
+        def run_async():
+            outs = [seg_fn(exts[k], dc, peak, koffs[k], nv, pt, so, bt, ds)
+                    for k in range(n_seg_pad)]
+            return assemble(*[tuple(o[i] for o in outs) for i in range(5)],
+                            nv, params["trig_i"],
+                            params["trig_f"], params["hdr_rel"],
+                            params["calib_off"], params["coeff_defaults"],
+                            params["temp_lut"], params["limits"])
+
+        b_enq = b_dev = b_fetch = 1e9
+        for _ in range(6):
+            t0 = time.perf_counter()
+            out = run_async()
+            t1 = time.perf_counter()
+            _ = int(jax.device_get(out[0]))   # forces device completion
+            t2 = time.perf_counter()
+            _ = jax.device_get(out)
+            t3 = time.perf_counter()
+            b_enq = min(b_enq, t1 - t0)
+            b_dev = min(b_dev, t2 - t1)
+            b_fetch = min(b_fetch, t3 - t2)
+        print(f"split: enqueue {b_enq*1e3:.1f} ms | device(+lat) "
+              f"{b_dev*1e3:.1f} ms | result fetch {b_fetch*1e3:.1f} ms")
 
 
 if __name__ == "__main__":

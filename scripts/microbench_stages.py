@@ -95,8 +95,8 @@ def main():
     assemble = segmented._assemble_program(n_seg_pad, dims, FS,
                                            float(cfg.bitrate))
     params = eng.fused_inputs(cfg, FS)
-    stacked = [jnp.stack([o[i] for o in outs]) for i in range(6)]
-    timed("assemble program (%d segs)" % n_seg_pad, assemble, *stacked, nv,
+    tup = [tuple(o[i] for o in outs) for i in range(5)]
+    timed("assemble program (%d segs)" % n_seg_pad, assemble, *tup, nv,
           params["trig_i"], params["trig_f"], params["hdr_rel"],
           params["calib_off"], params["coeff_defaults"], params["temp_lut"],
           params["limits"])

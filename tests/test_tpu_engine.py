@@ -369,11 +369,12 @@ def test_header_windows_span_semantics():
     edges[:n_edges] = np.sort(rng.choice(int(14 * fs), n_edges, False))
     s1 = rng.random(me).astype(np.float32) + 0.2
     s2 = rng.random(me).astype(np.float32) + 0.2
+    c0 = s2 / np.maximum(s1, 1e-30)  # the single confidence-ratio stream
     for lo, hi in ((edges[100], edges[700]), (0, 50), (10**9, 2 * 10**9),
                    (2**30, -2**30)):  # normal, pre-data, post-data, inverted
         hb = np.asarray([lo, hi, lo, hi, lo, hi], np.int64)
         out = eng.stage15_core(
-            jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(edges),
+            jnp.asarray(c0), jnp.asarray(edges),
             jnp.asarray(n_edges), jnp.asarray(hb),
             jnp.asarray(0, jnp.int32), dims)
         sel = (np.arange(me) < n_edges - 1) & (edges >= lo) & (edges <= hi)
