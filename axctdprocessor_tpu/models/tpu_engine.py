@@ -349,20 +349,6 @@ def stage15_core(c0, edge_samples, n_edges, h_bounds, calib_cut,
 # stage 2: profile frame sync + conversion + QC (device)
 # ---------------------------------------------------------------------------
 
-def _masked_percentile(x, mask, q, max_n):
-    """np.percentile (linear interpolation) over the masked subset."""
-    inf = jnp.asarray(jnp.inf, x.dtype)
-    vals = jnp.sort(jnp.where(mask, x, inf))
-    n_valid = jnp.sum(mask.astype(jnp.int32))
-    rank = q / 100.0 * (n_valid - 1).astype(x.dtype)
-    lo = jnp.clip(jnp.floor(rank).astype(jnp.int32), 0, max_n - 1)
-    hi = jnp.clip(lo + 1, 0, max_n - 1)
-    frac = rank - lo.astype(x.dtype)
-    v_lo = vals[lo]
-    v_hi = jnp.where(hi <= n_valid - 1, vals[hi], v_lo)
-    return v_lo + frac * (v_hi - v_lo)
-
-
 def stage2_core(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
                 profstart, dims: EngineDims, fs: float):
     """Profile frame sync on device; science conversion + QC run on the
@@ -394,8 +380,23 @@ def stage2_core(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
     bit_r400 = r400_win[win]
     bit_r7500 = r7500_win[win] - mean7500
 
-    # 2. frame acceptance per offset: '10' + CRC + positive 7500 ratio
-    crc_valid = crc_ops.check_crc_all_windows(bits_p)
+    # 2. the 32-bit frame word at EVERY bit offset (32 shifted adds over
+    # the bit stream: one fused elementwise pass, sequential HBM
+    # traffic).  This replaces a (max_frames, 32) random gather — 660k
+    # gathered elements, ~4 ms of the back half at 600 s scale — with
+    # ~0.5 ms of streaming adds, and CRC validity derives from the SAME
+    # words (6 popcounts, ops.crc.check_crc_words) instead of a second
+    # 32-pass shifted-XOR sweep over the bit stream.
+    bext32 = jnp.concatenate(
+        [bits_p.astype(jnp.uint32), jnp.zeros((32,), jnp.uint32)])
+    word = jnp.zeros((me,), jnp.uint32)
+    for k in range(32):  # Horner: word[i] = sum_k bits_p[i+k] << (31-k)
+        word = (word << 1) | bext32[k : k + me]
+
+    # 3. frame acceptance per offset: '10' + CRC + positive 7500 ratio
+    # (zero words past the stream read CRC-valid; the n_prof - 32 tail
+    # mask excludes them, matching check_crc_all_windows' own guard)
+    crc_valid = crc_ops.check_crc_words(word)
     nxt = jnp.roll(bits_p, -1)
     accept = (bits_p == 1) & (nxt == 0) & crc_valid & (bit_r7500 > 0)
     accept &= idx < n_prof - 32
@@ -403,17 +404,6 @@ def stage2_core(bits, n_bits, edge_samples, r400_win, r7500_win, mean7500,
     starts, n_frames, consumed, sync_ovf = chain_ops.enumerate_frames(
         accept, n_prof, max_steps=me, max_frames=dims.max_frames)
 
-    # 3. frame fields — the 32-bit frame word at EVERY bit offset first
-    # (32 shifted adds over the bit stream: one fused elementwise pass,
-    # sequential HBM traffic), then one small gather at the frame
-    # starts.  This replaces a (max_frames, 32) random gather — 660k
-    # gathered elements, ~4 ms of the back half at 600 s scale — with
-    # ~0.5 ms of streaming adds.
-    bext32 = jnp.concatenate(
-        [bits_p.astype(jnp.uint32), jnp.zeros((32,), jnp.uint32)])
-    word = jnp.zeros((me,), jnp.uint32)
-    for k in range(32):  # Horner: word[i] = sum_k bits_p[i+k] << (31-k)
-        word = (word << 1) | bext32[k : k + me]
     # frame hex ships as one packed uint32 per frame (host formats %08x)
     hexpack = word[starts]
 

@@ -226,12 +226,20 @@ def chain_enumerate(next_idx: jnp.ndarray, start, length: int,
         span *= 2
     if first >= k:
         return chain0[:k]
-    # phase 2: scan span-sized chunks: chunk_{t+1} = next^first(chunk_t)
-    n_chunks = -(-(k - first) // first)
+    # phase 2: scan span-sized chunks: chunk_{t+1} = next^first(chunk_t).
+    # UNROLLED jump applications per scan step: the tail is latency-bound
+    # on tiny dependent gathers, and 8 per iteration amortizes the loop
+    # bookkeeping (same lesson as chain_enumerate_strided's tail)
+    unroll = 8
+    n_chunks = -(-(k - first) // (first * unroll))
 
     def body(chunk, _):
-        nc = jumps[chunk]
-        return nc, nc
+        outs = []
+        nc = chunk
+        for _ in range(unroll):
+            nc = jumps[nc]
+            outs.append(nc)
+        return nc, jnp.stack(outs)
 
     _, rest = lax.scan(body, chain0, None, length=n_chunks)
     return jnp.concatenate([chain0, rest.reshape(-1)])[:k]

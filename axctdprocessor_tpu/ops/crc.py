@@ -18,6 +18,7 @@ sync (see ops.framesync).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 GENERATOR = np.array([1, 1, 0, 0, 1, 0, 1], dtype=np.uint8)
@@ -92,6 +93,33 @@ def check_crc_all_windows_np(bitstream: np.ndarray) -> np.ndarray:
 # _PARITY[i, j].  XOR accumulates each field mod 2 with no cross-field
 # carries, so the whole 6-lane remainder rides ONE int32 stream.
 _PACKED = (_PARITY.astype(np.int32) << np.arange(CRC_BITS)).sum(axis=1)
+
+
+# column j of the parity matrix packed as a 32-bit mask over the frame
+# WORD layout word[i] = sum_k bits[i+k] << (31-k): remainder bit j of a
+# window is the GF(2) dot product of its bits with parity column j =
+# popcount(word & _COLMASK[j]) mod 2.
+_COLMASK = [int(sum(int(_PARITY[k, j]) << (31 - k) for k in range(FRAME_BITS)))
+            for j in range(CRC_BITS)]
+
+
+def check_crc_words(words: jnp.ndarray) -> jnp.ndarray:
+    """CRC validity from pre-built 32-bit frame words (big-endian bit
+    order: word[i] carries bits i..i+31 with bit i in the MSB).
+
+    The profile stage already builds the word at every offset for the
+    hexframe field (tpu_engine.stage2_core's Horner pass), so validity
+    is 6 ``population_count`` + AND ops over the SAME stream — the
+    separate 32-pass shifted-XOR sweep of :func:`check_crc_all_windows`
+    disappears from the program.  A zero word (zero padding past the
+    stream) has remainder 0 and reads as valid: callers must mask the
+    tail, exactly as they already mask ``idx < n_bits - 32``.
+    """
+    w = words.astype(jnp.uint32)
+    bad = jnp.zeros(w.shape, jnp.uint32)
+    for j in range(CRC_BITS):
+        bad |= jax.lax.population_count(w & jnp.uint32(_COLMASK[j])) & 1
+    return bad == 0
 
 
 def check_crc_all_windows(bitstream: jnp.ndarray) -> jnp.ndarray:

@@ -126,11 +126,10 @@ def main():
         lambda b, s: force(b[s[:, None] + jnp.arange(32)[None, :]])),
         bits, starts_d)
 
-    temp = jnp.asarray(rng.random(mf).astype(np.float32) * 30)
-    good = jnp.asarray(rng.random(mf) < 0.8)
-    t_pct = timeit(jax.jit(
-        lambda t, g: force(*[eng._masked_percentile(t, g, q, mf)
-                             for q in (50.0, 15.0, 85.0)])), temp, good)
+    words = jnp.asarray(rng.integers(0, 2**32, me, np.uint32,
+                                     endpoint=False))
+    t_crcw = timeit(jax.jit(
+        lambda w: force(crc_ops.check_crc_words(w))), words)
 
     roll_amt = jnp.asarray(1000, jnp.int32)
     t_roll = timeit(jax.jit(
@@ -146,7 +145,7 @@ def main():
     print(f"  crc all-windows:     {(t_crc-t_base)*1e3:6.1f} ms")
     print(f"  frame sync:          {(t_sync-t_base)*1e3:6.1f} ms")
     print(f"  frame-window gather: {(t_fwin-t_base)*1e3:6.1f} ms")
-    print(f"  3 masked pctiles:    {(t_pct-t_base)*1e3:6.1f} ms")
+    print(f"  crc from words:      {(t_crcw-t_base)*1e3:6.1f} ms")
     print(f"  2 rolls (bits+edges):{(t_roll-t_base)*1e3:6.1f} ms")
 
 

@@ -51,6 +51,25 @@ def test_all_windows_jax_matches_np(rng):
     assert not v_jax[len(v_np):].any()
 
 
+def test_crc_words_matches_all_windows(rng):
+    """check_crc_words over Horner-built frame words == the shifted-XOR
+    sweep on the valid range (the profile stage derives CRC from the
+    hexframe words it builds anyway, tpu_engine.stage2_core)."""
+    stream = np.asarray(rng.integers(0, 2, size=512))
+    n = len(stream)
+    ext = np.concatenate([stream.astype(np.uint32), np.zeros(32, np.uint32)])
+    word = np.zeros(n, np.uint32)
+    for k in range(32):  # word[i] = sum_k bits[i+k] << (31-k)
+        word = (word << np.uint32(1)) | ext[k : k + n]
+    v_words = np.asarray(crc.check_crc_words(jnp.asarray(word)))
+    v_ref = crc.check_crc_all_windows_np(stream)
+    np.testing.assert_array_equal(v_words[: len(v_ref)], v_ref)
+    # the tail (windows reading zero padding) is the callers' concern:
+    # stage2 masks accept with idx < n_prof - 32 — an all-zero word IS
+    # CRC-valid by construction, so verify the documented hazard exists
+    assert crc.check_crc_words(jnp.zeros(4, jnp.uint32)).all()
+
+
 def test_bits_roundtrip_and_reference_parity(rng):
     ref = load_reference_modules()
     for _ in range(20):
