@@ -150,60 +150,93 @@ def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
     return jax.jit(run)
 
 
+def _assemble_body(powers_t, gpos_t, c0_t, cnt_t, rovf_t, n_valid, trig_i,
+                   trig_f, hdr_rel, calib_off, coeff_defaults, temp_lut,
+                   limits, dims, fs: float, bitrate: float):
+    """Shared assemble body (traced inside jit): concatenate per-segment
+    outputs, merge crossings, run the bit-edge chain, and hand off to
+    the fused device back half.  ``*_t`` are sequences of per-segment
+    buffers (rows of a stacked chunk are fine — static slices fuse)."""
+    from jax import lax
+
+    # powers: n_seg x (strides, F) -> global smoothed ratios
+    p = jnp.concatenate(powers_t, axis=0)
+    sm = [iir.boxsmooth_lag(p[:, i], 5) for i in range(3)]
+    r400 = jnp.log10(sm[0] / sm[2])
+    r7500 = jnp.log10(sm[1] / sm[2])
+
+    # Segments are time-ordered and sorted within, and each row's
+    # valid prefix length is known (cnt_t) — so the merge is a
+    # RAGGED CONCATENATION: ascending fixed-size dynamic_update_slice
+    # writes, each overwriting the previous row's BIG tail.  That is
+    # ~8 MB of sequential writes, replacing a 2M-element mask
+    # compaction + survivor gather (measured ~25 ms) and letting the
+    # probe table merge alongside so the bit-edge probes gather
+    # DIRECTLY (the composed slot re-gather cost another ~27 ms).
+    k_seg = len(gpos_t)
+    c_seg = gpos_t[0].shape[0]
+    m = k_seg * c_seg
+    cnt_seg = jnp.stack(cnt_t)
+    cnts = jnp.minimum(cnt_seg, c_seg)
+    coff = jnp.cumsum(cnts) - cnts
+    n_cross = coff[-1] + cnts[-1]
+    buf_g = jnp.full((m,), BIG, jnp.int32)
+    buf_c0 = jnp.zeros((m,), c0_t[0].dtype)
+    for k in range(k_seg):
+        at = (coff[k],)
+        buf_g = lax.dynamic_update_slice(buf_g, gpos_t[k], at)
+        buf_c0 = lax.dynamic_update_slice(buf_c0, c0_t[k], at)
+    g_s = jnp.where(jnp.arange(m) < n_cross, buf_g, BIG)
+
+    edge_idx, n_edges = chain_ops.enumerate_bit_edges(
+        g_s, n_cross, fs, bitrate, dims.max_edges)
+    safe = jnp.clip(edge_idx, 0, m - 1)
+    ovf0 = jnp.max(jnp.stack([(cnt_t[k] > c_seg).astype(jnp.int32)
+                              | rovf_t[k].astype(jnp.int32)
+                              for k in range(k_seg)]))
+    return eng.back_half_core(
+        r400, r7500, g_s[safe], n_edges, buf_c0[safe],
+        n_valid, trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
+        temp_lut, limits, dims, fs, overflow0=ovf0)
+
+
 @functools.lru_cache(maxsize=8)
 def _assemble_program(n_seg: int, dims, fs: float, bitrate: float):
-    """Concatenate per-segment outputs, merge crossings, run the
-    bit-edge chain, and hand off to the fused device back half.
-
-    Per-segment outputs arrive as TUPLES of the individual segment
-    buffers (a pytree — jit flattens it), NOT pre-stacked arrays: the
-    ragged merge writes each segment's buffer directly into the merged
-    table, so the (n_seg, c_seg) stacks never materialize and the six
-    eager ``jnp.stack`` dispatches (28 x ~8 MB of device copies per
-    decode) disappear from the host loop."""
-    from jax import lax
+    """Assemble over per-segment outputs passed as TUPLES of individual
+    segment buffers (a pytree — jit flattens it), NOT pre-stacked
+    arrays: the ragged merge writes each segment's buffer directly into
+    the merged table, so the (n_seg, c_seg) stacks never materialize and
+    the six eager ``jnp.stack`` dispatches (28 x ~8 MB of device copies
+    per decode) disappear from the host loop."""
 
     def run(powers_t, gpos_t, c0_t, cnt_t, rovf_t, n_valid, trig_i,
             trig_f, hdr_rel, calib_off, coeff_defaults, temp_lut, limits):
-        # powers: n_seg x (strides, F) -> global smoothed ratios
-        p = jnp.concatenate(powers_t, axis=0)
-        sm = [iir.boxsmooth_lag(p[:, i], 5) for i in range(3)]
-        r400 = jnp.log10(sm[0] / sm[2])
-        r7500 = jnp.log10(sm[1] / sm[2])
+        return _assemble_body(powers_t, gpos_t, c0_t, cnt_t, rovf_t,
+                              n_valid, trig_i, trig_f, hdr_rel, calib_off,
+                              coeff_defaults, temp_lut, limits, dims, fs,
+                              bitrate)
 
-        # Segments are time-ordered and sorted within, and each row's
-        # valid prefix length is known (cnt_t) — so the merge is a
-        # RAGGED CONCATENATION: ascending fixed-size dynamic_update_slice
-        # writes, each overwriting the previous row's BIG tail.  That is
-        # ~8 MB of sequential writes, replacing a 2M-element mask
-        # compaction + survivor gather (measured ~25 ms) and letting the
-        # probe table merge alongside so the bit-edge probes gather
-        # DIRECTLY (the composed slot re-gather cost another ~27 ms).
-        k_seg = len(gpos_t)
-        c_seg = gpos_t[0].shape[0]
-        m = k_seg * c_seg
-        cnt_seg = jnp.stack(cnt_t)
-        cnts = jnp.minimum(cnt_seg, c_seg)
-        coff = jnp.cumsum(cnts) - cnts
-        n_cross = coff[-1] + cnts[-1]
-        buf_g = jnp.full((m,), BIG, jnp.int32)
-        buf_c0 = jnp.zeros((m,), c0_t[0].dtype)
-        for k in range(k_seg):
-            at = (coff[k],)
-            buf_g = lax.dynamic_update_slice(buf_g, gpos_t[k], at)
-            buf_c0 = lax.dynamic_update_slice(buf_c0, c0_t[k], at)
-        g_s = jnp.where(jnp.arange(m) < n_cross, buf_g, BIG)
+    return jax.jit(run)
 
-        edge_idx, n_edges = chain_ops.enumerate_bit_edges(
-            g_s, n_cross, fs, bitrate, dims.max_edges)
-        safe = jnp.clip(edge_idx, 0, m - 1)
-        ovf0 = jnp.max(jnp.stack([(cnt_t[k] > c_seg).astype(jnp.int32)
-                                  | rovf_t[k].astype(jnp.int32)
-                                  for k in range(k_seg)]))
-        return eng.back_half_core(
-            r400, r7500, g_s[safe], n_edges, buf_c0[safe],
-            n_valid, trig_i, trig_f, hdr_rel, calib_off, coeff_defaults,
-            temp_lut, limits, dims, fs, overflow0=ovf0)
+
+@functools.lru_cache(maxsize=8)
+def _assemble_program_chunked(dims, fs: float, bitrate: float):
+    """Assemble over CHUNK-STACKED segment outputs: each ``*_c`` input is
+    a tuple of arrays with a leading chunk axis (the stacked outputs of a
+    vmapped multi-segment dispatch).  Rows are read by static slice
+    INSIDE the jit — slicing the stacks eagerly on the host would cost
+    one tiny device dispatch per (segment x output), which is exactly
+    the overhead grouped dispatch exists to remove."""
+
+    def run(powers_c, gpos_c, c0_c, cnt_c, rovf_c, n_valid, trig_i,
+            trig_f, hdr_rel, calib_off, coeff_defaults, temp_lut, limits):
+        def rows(chunks):
+            return [c[i] for c in chunks for i in range(c.shape[0])]
+
+        return _assemble_body(rows(powers_c), rows(gpos_c), rows(c0_c),
+                              rows(cnt_c), rows(rovf_c), n_valid, trig_i,
+                              trig_f, hdr_rel, calib_off, coeff_defaults,
+                              temp_lut, limits, dims, fs, bitrate)
 
     return jax.jit(run)
 

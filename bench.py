@@ -220,17 +220,31 @@ def child_resident() -> None:
         ext[s_lo - lo : s_hi - lo] = q[s_lo:s_hi]
         return ext
 
-    exts = [jax.device_put(jnp.asarray(build_ext(k))) for k in range(n_seg)]
-    zero = jax.device_put(jnp.asarray(np.zeros(ext_len, q.dtype)))
-    koffs = [jnp.asarray(min(k, n_seg) * seg_len, jnp.int32)
-             for k in range(n_seg_pad)]
-    assemble = segmented._assemble_program(n_seg_pad, dims, fs,
-                                           float(cfg.bitrate))
+    # grouped dispatch (A/B'd on chip, bench_artifacts/resident_group.json):
+    # vmapped chunks of 4 segments per dispatch + the chunked assemble cut
+    # resident wall 173.7 -> 148.2 ms vs one-dispatch-per-segment; larger
+    # groups (14+) were slower AND numerically wrong on the relay's
+    # batched-FFT path, so the group size stays fixed at 4.
+    GROUP = 4
+    n_chunk = (n_seg_pad + GROUP - 1) // GROUP
+    exts_np = np.stack([build_ext(k) if k < n_seg else
+                        np.zeros(ext_len, q.dtype)
+                        for k in range(n_chunk * GROUP)])
+    koffs_np = np.asarray([min(k, n_seg) * seg_len
+                           for k in range(n_chunk * GROUP)], np.int32)
+    chunks = [jax.device_put(jnp.asarray(exts_np[j*GROUP:(j+1)*GROUP]))
+              for j in range(n_chunk)]
+    kchunks = [jax.device_put(jnp.asarray(koffs_np[j*GROUP:(j+1)*GROUP]))
+               for j in range(n_chunk)]
+    vseg = jax.jit(jax.vmap(
+        seg_fn, in_axes=(0, None, None, 0, None, None, None, None, None)))
+    assemble = segmented._assemble_program_chunked(dims, fs,
+                                                   float(cfg.bitrate))
     params = eng.fused_inputs(cfg, fs)
 
     def run():
-        outs = [seg_fn(exts[k] if k < n_seg else zero, dc, peak, koffs[k],
-                       nv, pt, so, bt, ds) for k in range(n_seg_pad)]
+        outs = [vseg(chunks[j], dc, peak, kchunks[j], nv, pt, so, bt, ds)
+                for j in range(n_chunk)]
         out = assemble(*[tuple(o[i] for o in outs) for i in range(5)],
                        nv, params["trig_i"], params["trig_f"],
                        params["hdr_rel"], params["calib_off"],

@@ -91,20 +91,39 @@ def main():
                            params["limits"])
             return jax.device_get(out)
     else:
-        exts_d = jax.device_put(jnp.asarray(exts_np))
-        koffs_d = jax.device_put(jnp.asarray(koffs_np))
+        # grouped dispatch: vmap the segment program over chunks of g
+        # segments (mode "gN"; "vmap" = one chunk of all segments), and
+        # feed the chunk STACKS straight into the chunked assemble — row
+        # slicing happens inside that jit, not as eager device ops.
+        g = n_seg_pad if mode == "vmap" else int(mode[1:])
+        n_chunk = (n_seg_pad + g - 1) // g
+        pad_to = n_chunk * g
+        if pad_to > n_seg_pad:  # pad with ZERO segments (cnt=0 rows)
+            exts_np = np.concatenate(
+                [exts_np, np.zeros((pad_to - n_seg_pad, ext_len),
+                                   exts_np.dtype)])
+            koffs_np = np.concatenate(
+                [koffs_np, np.full(pad_to - n_seg_pad, n_seg * seg_len,
+                                   np.int32)])
+        chunks = [jax.device_put(jnp.asarray(exts_np[j * g:(j + 1) * g]))
+                  for j in range(n_chunk)]
+        kchunks = [jax.device_put(jnp.asarray(koffs_np[j * g:(j + 1) * g]))
+                   for j in range(n_chunk)]
         vseg = jax.jit(jax.vmap(
             seg_fn, in_axes=(0, None, None, 0, None, None, None, None,
                              None)))
+        asm_chunk = segmented._assemble_program_chunked(
+            dims, FS, float(cfg.bitrate))
 
         def run():
-            stacked = vseg(exts_d, dc, peak, koffs_d, nv, pt, so, bt, ds)
-            out = assemble(*[tuple(s[k] for k in range(n_seg_pad))
-                             for s in stacked],
-                           nv, params["trig_i"], params["trig_f"],
-                           params["hdr_rel"], params["calib_off"],
-                           params["coeff_defaults"], params["temp_lut"],
-                           params["limits"])
+            outs = [vseg(chunks[j], dc, peak, kchunks[j], nv, pt, so, bt,
+                         ds) for j in range(n_chunk)]
+            out = asm_chunk(*[tuple(o[i] for o in outs)
+                              for i in range(5)],
+                            nv, params["trig_i"], params["trig_f"],
+                            params["hdr_rel"], params["calib_off"],
+                            params["coeff_defaults"], params["temp_lut"],
+                            params["limits"])
             return jax.device_get(out)
 
     host = run()  # warmup

@@ -97,6 +97,89 @@ def test_zero_segment_padding_is_neutral(drop130, monkeypatch):
     assert padded.time == base.time
 
 
+def test_grouped_dispatch_matches_segmented(drop130):
+    """The grouped-dispatch resident path (vmapped chunks of segments +
+    the chunked assemble, bench.py child_resident) decodes identically
+    to the per-segment dispatch loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from axctdprocessor_tpu.models import tpu_engine as eng
+    from axctdprocessor_tpu.ops import wire as wire_ops
+    from axctdprocessor_tpu.utils.config import DecoderConfig
+
+    pcm, truth = drop130
+    raw = np.round(pcm * 28000 / np.max(np.abs(pcm))).astype(np.int16)
+
+    cfg = DecoderConfig()
+    fs = 44100.0
+    q = wire_ops.quantize_int8(raw)
+    n = len(q)
+    d_pcm, n_power, seg_len, right, c_seg = segmented._seg_geometry(fs)
+    npcm = (int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100)))
+            - 2 * cfg.bit_inset)
+    ext_len = segmented.LEFT_HALO + seg_len + right
+    n_seg = max(int(np.ceil(n / seg_len)), 1)
+    n_seg_pad = segmented._bucket_count(n_seg)
+    dims = eng.EngineDims.for_waveform(n_seg_pad * seg_len, fs,
+                                       cfg.bitrate, npcm)
+    power_trig, bit_trig, sos = eng.engine_tables(cfg, fs, dims)
+    seg_fn = segmented._segment_program(fs, npcm, cfg.bit_inset, 100, True)
+    pt, so, bt = (jnp.asarray(a, jnp.float32)
+                  for a in (power_trig, sos, bit_trig))
+    ds = jnp.asarray(np.zeros((1, 6)), jnp.float32)
+    dc = jnp.asarray(np.float32(np.mean(q)))
+    peak = jnp.asarray(np.float32(max(int(q.max()), -int(q.min()), 1)))
+    nv = jnp.asarray(n, jnp.int32)
+
+    GROUP = 2  # 3 real segments -> 2 chunks, one with a zero-pad row
+    n_chunk = (n_seg_pad + GROUP - 1) // GROUP
+
+    def build_ext(k):
+        if k >= n_seg:
+            return np.zeros(ext_len, q.dtype)
+        lo = k * seg_len - segmented.LEFT_HALO
+        hi = k * seg_len + seg_len + right
+        ext = np.zeros(ext_len, q.dtype)
+        s_lo, s_hi = max(lo, 0), min(hi, n)
+        ext[s_lo - lo: s_hi - lo] = q[s_lo:s_hi]
+        return ext
+
+    exts = np.stack([build_ext(k) for k in range(n_chunk * GROUP)])
+    koffs = np.asarray([min(k, n_seg) * seg_len
+                        for k in range(n_chunk * GROUP)], np.int32)
+    params = eng.fused_inputs(cfg, fs)
+
+    # base: one dispatch per segment + the tuple assemble (the offline
+    # segmented loop's exact program pair)
+    asm_loop = segmented._assemble_program(n_seg_pad, dims, fs,
+                                           float(cfg.bitrate))
+    outs_l = [seg_fn(jnp.asarray(exts[k]), dc, peak,
+                     jnp.asarray(koffs[k]), nv, pt, so, bt, ds)
+              for k in range(n_seg_pad)]
+    out_l = asm_loop(*[tuple(o[i] for o in outs_l) for i in range(5)],
+                     nv, params["trig_i"], params["trig_f"],
+                     params["hdr_rel"], params["calib_off"],
+                     params["coeff_defaults"], params["temp_lut"],
+                     params["limits"])
+    base = eng.finish_result(jax.device_get(out_l), 44100, n, fs, cfg)
+
+    vseg = jax.jit(jax.vmap(
+        seg_fn, in_axes=(0, None, None, 0, None, None, None, None, None)))
+    asm = segmented._assemble_program_chunked(dims, fs, float(cfg.bitrate))
+    outs = [vseg(jnp.asarray(exts[j*GROUP:(j+1)*GROUP]), dc, peak,
+                 jnp.asarray(koffs[j*GROUP:(j+1)*GROUP]), nv, pt, so, bt,
+                 ds) for j in range(n_chunk)]
+    out = asm(*[tuple(o[i] for o in outs) for i in range(5)],
+              nv, params["trig_i"], params["trig_f"], params["hdr_rel"],
+              params["calib_off"], params["coeff_defaults"],
+              params["temp_lut"], params["limits"])
+    res = eng.finish_result(jax.device_get(out), 44100, n, fs, cfg)
+    assert res.status == base.status == 2
+    assert res.metadata == base.metadata
+    assert res.hexframes == base.hexframes
+
+
 def test_bucket_count():
     ks = (1, 2, 3, 4, 5, 6, 7, 8, 9, 12, 13, 16, 17, 24, 25, 29, 57)
     want = (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24, 28, 32, 64)
