@@ -112,10 +112,25 @@ def main():
         durs[name] = nbytes / 2 / fs
     audio_s = float(sum(durs.values()))
 
+    # resume from an existing manifest by default: relay outage windows
+    # (observed: 1+ h) can wedge a run mid-corpus, and redoing finished
+    # files would conflate outage wall with decode wall.  corpus_rtf is
+    # computed over the audio decoded THIS run only.
+    prev_done = set()
+    man_path = os.path.join(OUT_DIR, "manifest.json")
+    if os.environ.get("CORPUS_FRESH") == "1":
+        shutil.rmtree(OUT_DIR, ignore_errors=True)
+    elif os.path.exists(man_path):
+        with open(man_path) as f:
+            prev = json.load(f)
+        prev_done = {n for n, v in prev.get("files", {}).items()
+                     if v["status"] in ("done", "failed")}
+        print(f"resuming: {len(prev_done)} files already accounted")
+
     timer = StageTimer()
     t0 = time.perf_counter()
-    manifest = reprocess_corpus(paths, OUT_DIR, batch_size=8, resume=False,
-                                timer=timer)
+    manifest = reprocess_corpus(paths, OUT_DIR, batch_size=8,
+                                resume=bool(prev_done), timer=timer)
     wall = time.perf_counter() - t0
 
     statuses = [v["status"] for v in manifest["files"].values()]
@@ -126,6 +141,8 @@ def main():
     reports = len(glob.glob(os.path.join(OUT_DIR, "*.txt")))
     decoded_s = sum(durs[n] for n, v in manifest["files"].items()
                     if v["status"] == "done")
+    decoded_s_run = sum(durs[n] for n, v in manifest["files"].items()
+                        if v["status"] == "done" and n not in prev_done)
 
     out = {
         "n_files": N_FILES,
@@ -136,8 +153,10 @@ def main():
         "profile_rows": rows,
         "audio_s_total": round(audio_s, 1),
         "audio_s_decoded": round(decoded_s, 1),
+        "audio_s_decoded_this_run": round(decoded_s_run, 1),
+        "resumed_from": len(prev_done),
         "wall_s": round(wall, 1),
-        "corpus_rtf": round(decoded_s / wall, 1),
+        "corpus_rtf": round(decoded_s_run / max(wall, 1e-9), 1),
         "stage_times": timer.as_dict(),
         "quarantine_entries": {
             n: v for n, v in manifest["files"].items()

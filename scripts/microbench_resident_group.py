@@ -95,7 +95,8 @@ def main():
         # segments (mode "gN"; "vmap" = one chunk of all segments), and
         # feed the chunk STACKS straight into the chunked assemble — row
         # slicing happens inside that jit, not as eager device ops.
-        g = n_seg_pad if mode == "vmap" else int(mode[1:])
+        g = (n_seg_pad if mode == "vmap"
+             else 4 if mode == "tput" else int(mode[1:]))
         n_chunk = (n_seg_pad + g - 1) // g
         pad_to = n_chunk * g
         if pad_to > n_seg_pad:  # pad with ZERO segments (cnt=0 rows)
@@ -115,16 +116,18 @@ def main():
         asm_chunk = segmented._assemble_program_chunked(
             dims, FS, float(cfg.bitrate))
 
-        def run():
+        def run_async():
             outs = [vseg(chunks[j], dc, peak, kchunks[j], nv, pt, so, bt,
                          ds) for j in range(n_chunk)]
-            out = asm_chunk(*[tuple(o[i] for o in outs)
-                              for i in range(5)],
-                            nv, params["trig_i"], params["trig_f"],
-                            params["hdr_rel"], params["calib_off"],
-                            params["coeff_defaults"], params["temp_lut"],
-                            params["limits"])
-            return jax.device_get(out)
+            return asm_chunk(*[tuple(o[i] for o in outs)
+                               for i in range(5)],
+                             nv, params["trig_i"], params["trig_f"],
+                             params["hdr_rel"], params["calib_off"],
+                             params["coeff_defaults"], params["temp_lut"],
+                             params["limits"])
+
+        def run():
+            return jax.device_get(run_async())
 
     host = run()  # warmup
     res = eng.finish_result(host, 44100, n, FS, cfg)
@@ -136,6 +139,23 @@ def main():
         best = min(best, time.perf_counter() - t0)
     print(f"resident wall ({mode}): {best*1e3:.1f} ms "
           f"-> {WAV_SECONDS/best:.0f}x realtime")
+
+    if mode == "tput":
+        # sustained resident THROUGHPUT: K back-to-back decodes queued
+        # with every result fetched only after the last dispatch — the
+        # fetch of decode i rides under decode i+1's device compute,
+        # exactly how a corpus/archive job consumes the chip.  Per-drop
+        # wall is the honest steady-state number for bulk reprocessing.
+        K = 4
+        best_k = 1e9
+        for _ in range(4):
+            t0 = time.perf_counter()
+            outs_k = [run_async() for _ in range(K)]
+            for o in outs_k:
+                jax.device_get(o)
+            best_k = min(best_k, (time.perf_counter() - t0) / K)
+        print(f"resident tput ({K} back-to-back): {best_k*1e3:.1f} ms/drop "
+              f"-> {WAV_SECONDS/best_k:.0f}x realtime")
 
     # wall split (loop mode): host enqueue / device-complete (forced by a
     # 4-byte fetch — block_until_ready is unreliable on the relay) / full
