@@ -37,6 +37,9 @@ _EXPORTS = {
     "TPUStreamDecoder": ("axctdprocessor_tpu.models.stream_tpu", "TPUStreamDecoder"),
     "decode_waveform_segmented": (
         "axctdprocessor_tpu.models.segmented", "decode_waveform_segmented"),
+    "prestage_waveform": (
+        "axctdprocessor_tpu.models.segmented", "prestage_waveform"),
+    "PrestagedDrop": ("axctdprocessor_tpu.models.segmented", "PrestagedDrop"),
     "DecoderConfig": ("axctdprocessor_tpu.utils.config", "DecoderConfig"),
     "resolve_settings": ("axctdprocessor_tpu.utils.config", "resolve_settings"),
 }

@@ -10,8 +10,12 @@ multi-minute remote compile).  This module bounds both:
   halo (IIR ring-in for the overlap-save FFT filter) and right halo
   (power-window straddle + crossing probes), the same halo math as the
   SP time-sharded path (parallel/timeshard.py), but sequential on one
-  device instead of parallel over a mesh.
-* **host->device upload streams per segment** while earlier segments
+  device instead of parallel over a mesh.  Offline decodes dispatch
+  segments in vmapped GROUPS of 4 (see GROUP below) to amortize the
+  relay's per-dispatch overhead; the realtime streaming decoder
+  (stream_tpu.py) keeps one dispatch per segment, because a push API
+  must decode each segment the moment its audio arrives.
+* **host->device upload streams per chunk** while earlier chunks
   compute — the dispatch queue is never blocked on the whole file's
   bytes (the transfer link, not compute, bounds single-file latency).
 * the variable-size remainder (power smoothing, trigger, bit-edge
@@ -51,6 +55,16 @@ SEG_NFFT = 1 << 20          # per-segment FFT size (fixed pow2)
 LEFT_HALO = 4096            # raw ring-in for the filter (transient < ~1k)
 BIG = np.iinfo(np.int32).max // 2
 
+# Segments per dispatch for offline decodes.  A/B'd on the chip in fresh
+# processes (bench_artifacts/resident_group.json): vmapped chunks of 4
+# segments + the chunked assemble cut the 600 s device-resident wall
+# 173.7 -> 148.2 ms vs one dispatch per segment (the relay pays ~2.6 ms
+# of queueing overhead per dispatch).  DO NOT raise this without re-
+# running scripts/microbench_resident_group.py's numerics gate on real
+# hardware: groups >= 14 were both slower AND numerically wrong through
+# the relay's batched-FFT path (wrong tone powers on later rows).
+GROUP = 4
+
 
 def _seg_geometry(fs: float):
     """Segment geometry: the largest whole-stride segment whose haloed
@@ -70,17 +84,13 @@ def _seg_geometry(fs: float):
     return d_pcm, n_power, seg_len, right, c_seg
 
 
-@functools.lru_cache(maxsize=8)
-def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
-                     integer_input: bool, decim2: bool = False,
-                     wire4: bool = False):
-    """One fixed-shape stage-1 segment program: conditioning,
+def _segment_body(fs: float, npcm: int, bit_inset: int, edge_pad: int,
+                  integer_input: bool, decim2: bool, wire4: bool):
+    """The fixed-shape stage-1 segment computation: conditioning,
     overlap-save FFT filter, tone powers on the global grid, crossings +
-    per-crossing probes.  Compiled once per (fs, config geometry) for
-    every file.  (A vmapped multi-segment-per-dispatch variant was
-    A/B'd on chip at groups 2/4/8 and changed nothing — async-queued
-    dispatch overhead is negligible — so one dispatch per segment
-    stays.)
+    per-crossing probes.  Shared by the per-segment program (realtime
+    stream pushes) and the grouped program (offline decode, GROUP
+    segments vmapped into one dispatch).
 
     With ``decim2`` (>50 kHz WAVs) the segment arrives at 2x the decode
     rate and is conditioned + zero-phase anti-alias decimated on device
@@ -147,7 +157,33 @@ def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
         # Rice bound — whose entries are missing even when cnt <= c_seg)
         return powers, gpos, c0, cnt, rovf
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=8)
+def _segment_program(fs: float, npcm: int, bit_inset: int, edge_pad: int,
+                     integer_input: bool, decim2: bool = False,
+                     wire4: bool = False):
+    """ONE segment per dispatch — the realtime streaming decoder's
+    program (stream_tpu.py pushes each segment the moment its audio
+    arrives; batching pushes would add ~71 s of receiver latency).
+    Offline decodes use _segment_program_grouped instead.  Compiled once
+    per (fs, config geometry) for every file."""
+    return jax.jit(_segment_body(fs, npcm, bit_inset, edge_pad,
+                                 integer_input, decim2, wire4))
+
+
+@functools.lru_cache(maxsize=8)
+def _segment_program_grouped(fs: float, npcm: int, bit_inset: int,
+                             edge_pad: int, integer_input: bool,
+                             decim2: bool = False, wire4: bool = False):
+    """GROUP segments vmapped into one dispatch — the offline decode
+    path's stage-1 program (see the GROUP constant for the on-chip A/B
+    and the relay numerics bound that fixes the group size at 4)."""
+    return jax.jit(jax.vmap(
+        _segment_body(fs, npcm, bit_inset, edge_pad, integer_input,
+                      decim2, wire4),
+        in_axes=(0, None, None, 0, None, None, None, None, None)))
 
 
 def _assemble_body(powers_t, gpos_t, c0_t, cnt_t, rovf_t, n_valid, trig_i,
@@ -255,24 +291,25 @@ def _bucket_count(k: int) -> int:
     return ((k + (1 << e) - 1) >> e) << e
 
 
-def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
-                              dtype=jnp.float32,
-                              wire: str = "auto",
-                              timer=None) -> DecodeResult:
-    """Decode with per-segment stage 1 (streamed upload, bounded compile).
+class _DropPlan:
+    """Host-side decode plan shared by decode_waveform_segmented and the
+    prestaged resident API: the wire-encoded PCM, segment/chunk geometry,
+    device-staged constant tables, and the compiled grouped segment +
+    chunked assemble programs."""
 
-    Same result contract as decode_waveform_tpu; integer input is
-    conditioned on device with host-computed raw-int DC/peak statistics
-    (the same float64 statistics the WAV reader uses).  ``wire`` selects
-    the upload format for integer PCM (ops.wire; "auto" = noise-shaped
-    int4 on real TPU), which matters most here — the segmented path
-    exists to stream uploads under compute.  ``timer`` (an optional
-    utils.profiling.StageTimer) splits the wall into encode / dispatch
-    loop / assemble / fetch / host-finish stages for latency triage.
-    """
-    from ..utils.profiling import StageTimer
+    __slots__ = ("cfg", "fs", "fs_report", "raw_mult", "n_raw", "n",
+                 "seg_len", "right", "w", "pcm", "enc", "n_seg",
+                 "n_seg_pad", "n_chunk", "dims", "vseg", "assemble",
+                 "params", "pt", "so", "bt", "ds", "dc_d", "peak_d",
+                 "nv_raw", "nv_dec", "pk", "buf_len", "fill",
+                 "npcm", "integer_input", "decim2", "wire4")
 
-    timer = timer if timer is not None else StageTimer()
+
+def _plan_waveform(pcm, fs, config, wire, timer) -> _DropPlan:
+    """Build the decode plan: resolve the wire + encode on host, fix the
+    chunk geometry, stage the constant tables on device, and look up the
+    cached programs.  Everything after this is dispatch + fetch."""
+    p = _DropPlan()
     cfg = config or DecoderConfig()
     pcm = np.asarray(pcm)
     if pcm.dtype == np.uint8:
@@ -296,38 +333,37 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
     integer_input = bool(np.issubdtype(pcm.dtype, np.integer))
     wire4 = False
     enc = None  # chunked int4 encoder (quantizes ahead of the uploads)
-    t_prep = timer.stage("host_encode_stats")
-    t_prep.__enter__()
-    if integer_input:
-        from ..ops import wire as wire_ops
+    with timer.stage("host_encode_stats"):
+        if integer_input:
+            from ..ops import wire as wire_ops
 
-        w = wire_ops.resolve_wire(wire, pcm.dtype)
-        ext_len_chk = LEFT_HALO + seg_len + right
-        if w == "int4" and (seg_len % 2 or ext_len_chk % 2):
-            w = "int8"  # packed slicing needs even segment boundaries
-        if w == "int4":
-            # chunked C encoder: quantize ahead of the upload cursor so
-            # the first segment transfer starts after ~6 ms, with the
-            # remaining chunks running under the IO-bound wire drain
-            # (closed-form dc/peak — see wire.ChunkedInt4Encoder)
-            enc = wire_ops.chunked_int4_encoder(pcm)
-            if enc is not None:
-                pcm, dc, peak = enc.packed, enc.dc, enc.peak
-            else:  # no native lib: one-shot pack + stats
-                pcm, dc, peak = wire_ops.quantize_int4_packed_stats(pcm)
-            wire4 = True
+            w = wire_ops.resolve_wire(wire, pcm.dtype)
+            ext_len_chk = LEFT_HALO + seg_len + right
+            if w == "int4" and (seg_len % 2 or ext_len_chk % 2):
+                w = "int8"  # packed slicing needs even segment boundaries
+            if w == "int4":
+                # chunked C encoder: quantize ahead of the upload cursor so
+                # the first chunk transfer starts after ~25 ms, with the
+                # remaining chunks running under the IO-bound wire drain
+                # (closed-form dc/peak — see wire.ChunkedInt4Encoder)
+                enc = wire_ops.chunked_int4_encoder(pcm)
+                if enc is not None:
+                    pcm, dc, peak = enc.packed, enc.dc, enc.peak
+                else:  # no native lib: one-shot pack + stats
+                    pcm, dc, peak = wire_ops.quantize_int4_packed_stats(pcm)
+                wire4 = True
+            else:
+                pcm = wire_ops.encode(pcm, w)
+                dc = float(np.mean(pcm))
+                # min/max reductions, not np.abs (wraps at the int16
+                # minimum) and no waveform-sized temporary (fresh-page
+                # stall — see ops.wire.int4_stats)
+                peak = (float(max(int(pcm.max()), -int(pcm.min()), 1))
+                        if n_raw else 1.0)
         else:
-            pcm = wire_ops.encode(pcm, w)
-            dc = float(np.mean(pcm))
-            # min/max reductions, not np.abs (wraps at the int16 minimum)
-            # and no waveform-sized temporary (fresh-page stall — see
-            # ops.wire.int4_stats)
-            peak = (float(max(int(pcm.max()), -int(pcm.min()), 1))
-                    if n_raw else 1.0)
-    else:
-        w = "float32"  # conditioned float PCM ships verbatim
-        dc, peak = 0.0, 1.0  # float input arrives conditioned
-        pcm = pcm.astype(np.float32)
+            w = "float32"  # conditioned float PCM ships verbatim
+            dc, peak = 0.0, 1.0  # float input arrives conditioned
+            pcm = pcm.astype(np.float32)
 
     n_seg = max(int(np.ceil(n / seg_len)), 1)
     n_seg_pad = _bucket_count(n_seg)
@@ -335,73 +371,243 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
                                        npcm)
     power_trig, bit_trig, sos = eng.engine_tables(cfg, fs, dims)
 
-    seg_fn = _segment_program(fs, npcm, cfg.bit_inset, 100, integer_input,
-                              decim2, wire4)
-    pt = jnp.asarray(power_trig, jnp.float32)
-    so = jnp.asarray(sos, jnp.float32)
-    bt = jnp.asarray(bit_trig, jnp.float32)
-    ds = jnp.asarray(iir.design_decim_sos() if decim2
-                     else np.zeros((1, 6)), jnp.float32)
-    dc_d = jnp.asarray(np.float32(dc))
-    peak_d = jnp.asarray(np.float32(peak))
+    p.vseg = _segment_program_grouped(fs, npcm, cfg.bit_inset, 100,
+                                      integer_input, decim2, wire4)
+    p.assemble = _assemble_program_chunked(dims, fs, float(cfg.bitrate))
+    fused = eng.fused_inputs(cfg, fs)
+    p.params = (fused["trig_i"], fused["trig_f"], fused["hdr_rel"],
+                fused["calib_off"], fused["coeff_defaults"],
+                fused["temp_lut"], fused["limits"])
+    p.pt = jnp.asarray(power_trig, jnp.float32)
+    p.so = jnp.asarray(sos, jnp.float32)
+    p.bt = jnp.asarray(bit_trig, jnp.float32)
+    p.ds = jnp.asarray(iir.design_decim_sos() if decim2
+                       else np.zeros((1, 6)), jnp.float32)
+    p.dc_d = jnp.asarray(np.float32(dc))
+    p.peak_d = jnp.asarray(np.float32(peak))
     # raw-rate count for the segment programs (conditioning mask), the
     # decode-rate count for the assemble/back half (its trigger derives
     # the real power-window grid from decode-rate n_power/d_pcm — a raw
     # count would extend it ~2x over bucket padding and could fire the
     # hard-timeout trigger on recordings too short for it)
-    nv_raw = jnp.asarray(n_raw, jnp.int32)
-    nv_dec = jnp.asarray(n, jnp.int32)
+    p.nv_raw = jnp.asarray(n_raw, jnp.int32)
+    p.nv_dec = jnp.asarray(n, jnp.int32)
 
     ext_len = LEFT_HALO + seg_len + right
     in_len = ext_len * raw_mult
     # packed int4 slices in the byte domain (2 samples/byte; boundaries
     # are even by the geometry check above, only n_raw itself may be odd)
-    pk = 2 if wire4 else 1
-    buf_len = in_len // pk
-    fill = np.uint8(0x88) if wire4 else pcm.dtype.type(0)
+    p.pk = 2 if wire4 else 1
+    p.buf_len = in_len // p.pk
+    p.fill = np.uint8(0x88) if wire4 else pcm.dtype.type(0)
 
-    def build_ext(k):
-        lo = (k * seg_len - LEFT_HALO) * raw_mult
-        hi = (k * seg_len + seg_len + right) * raw_mult
-        ext = np.full(buf_len, fill, dtype=pcm.dtype)
-        src_lo, src_hi = max(lo, 0), min(hi, n_raw)
+    p.cfg, p.fs, p.fs_report = cfg, fs, fs_report
+    p.raw_mult, p.n_raw, p.n = raw_mult, n_raw, n
+    p.seg_len, p.right = seg_len, right
+    p.w, p.pcm, p.enc = w, pcm, enc
+    p.n_seg, p.n_seg_pad = n_seg, n_seg_pad
+    p.n_chunk = (n_seg_pad + GROUP - 1) // GROUP
+    p.dims = dims
+    p.npcm, p.integer_input = npcm, integer_input
+    p.decim2, p.wire4 = decim2, wire4
+    return p
+
+
+def _chunk_host(p: _DropPlan, j: int) -> tuple[np.ndarray, np.ndarray]:
+    """Host-build chunk j's (GROUP, buf_len) stacked segment extensions +
+    per-row global offsets.  Rows past n_seg are zero segments: any
+    content with an offset past n_valid masks to silence (no crossings,
+    zero powers — tests/test_segmented.py padding-neutrality)."""
+    exts = np.full((GROUP, p.buf_len), p.fill, dtype=p.pcm.dtype)
+    koffs = np.empty(GROUP, np.int32)
+    for r in range(GROUP):
+        k = j * GROUP + r
+        koffs[r] = min(k, p.n_seg) * p.seg_len
+        if k >= p.n_seg:
+            continue
+        lo = (k * p.seg_len - LEFT_HALO) * p.raw_mult
+        hi = (k * p.seg_len + p.seg_len + p.right) * p.raw_mult
+        src_lo, src_hi = max(lo, 0), min(hi, p.n_raw)
         if src_hi > src_lo:
-            ext[(src_lo - lo) // pk : (src_hi - lo + pk - 1) // pk] = \
-                pcm[src_lo // pk : (src_hi + pk - 1) // pk]
-        return ext
+            exts[r, (src_lo - lo) // p.pk
+                 : (src_hi - lo + p.pk - 1) // p.pk] = \
+                p.pcm[src_lo // p.pk : (src_hi + p.pk - 1) // p.pk]
+    return exts, koffs
 
-    t_prep.__exit__(None, None, None)
-    # slot k >= n_seg is a zero segment: any content with an offset past
-    # n_valid masks to silence (no crossings, zero powers); all padded
-    # slots share one upload
-    zero_ext = None
-    outs = []
+
+@functools.lru_cache(maxsize=8)
+def _resident_program(n_chunk: int, dims, fs: float, bitrate: float,
+                      npcm: int, bit_inset: int, edge_pad: int,
+                      integer_input: bool, decim2: bool, wire4: bool):
+    """The WHOLE resident decode as ONE dispatch: ``lax.map`` over the
+    pre-staged (n_chunk, GROUP, buf_len) chunk stack — keeping the
+    per-iteration FFT batch at GROUP, inside the relay's verified-good
+    bound (>= 14 per batch is numerically wrong, see GROUP) — feeding
+    straight into the assemble body.  Removes the n_chunk per-chunk
+    dispatch boundaries (~2.6 ms each on the relay) from the decode
+    wall.  Only usable when every chunk is already in HBM (the
+    prestaged path): the streamed path needs per-chunk dispatches so
+    uploads overlap compute."""
+    body = _segment_body(fs, npcm, bit_inset, edge_pad, integer_input,
+                         decim2, wire4)
+    vbody = jax.vmap(body, in_axes=(0, None, None, 0, None, None, None,
+                                    None, None))
+
+    def run(ext_all, dc, peak, koff_all, nv_raw, nv_dec, ptrig, sos_arr,
+            btrig, decim_sos, trig_i, trig_f, hdr_rel, calib_off,
+            coeff_defaults, temp_lut, limits):
+        outs = jax.lax.map(
+            lambda xs: vbody(xs[0], dc, peak, xs[1], nv_raw, ptrig,
+                             sos_arr, btrig, decim_sos),
+            (ext_all, koff_all))
+
+        def rows(a):
+            return [a[j, i] for j in range(n_chunk)
+                    for i in range(a.shape[1])]
+
+        return _assemble_body(rows(outs[0]), rows(outs[1]), rows(outs[2]),
+                              rows(outs[3]), rows(outs[4]), nv_dec,
+                              trig_i, trig_f, hdr_rel, calib_off,
+                              coeff_defaults, temp_lut, limits, dims, fs,
+                              bitrate)
+
+    return jax.jit(run)
+
+
+def _dispatch_chunks(p: _DropPlan, chunks, kchunks):
+    """Dispatch every staged chunk through the grouped segment program
+    and hand the stacked outputs to the chunked assemble; returns the
+    assemble's device output (async — nothing has been fetched)."""
+    outs = [p.vseg(c, p.dc_d, p.peak_d, k, p.nv_raw, p.pt, p.so, p.bt,
+                   p.ds)
+            for c, k in zip(chunks, kchunks)]
+    return p.assemble(*[tuple(o[i] for o in outs) for i in range(5)],
+                      p.nv_dec, *p.params)
+
+
+def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
+                              dtype=jnp.float32,
+                              wire: str = "auto",
+                              timer=None) -> DecodeResult:
+    """Decode with grouped per-segment stage 1 (streamed upload, bounded
+    compile, GROUP segments per dispatch).
+
+    Same result contract as decode_waveform_tpu; integer input is
+    conditioned on device with host-computed raw-int DC/peak statistics
+    (the same float64 statistics the WAV reader uses).  ``wire`` selects
+    the upload format for integer PCM (ops.wire; "auto" = noise-shaped
+    int4 on real TPU), which matters most here — the segmented path
+    exists to stream uploads under compute.  ``timer`` (an optional
+    utils.profiling.StageTimer) splits the wall into encode / dispatch
+    loop / assemble / fetch / host-finish stages for latency triage.
+    """
+    from ..utils.profiling import StageTimer
+
+    timer = timer if timer is not None else StageTimer()
+    p = _plan_waveform(pcm, fs, config, wire, timer)
+
+    # chunk j+1's upload streams while chunk j computes; fully-padded
+    # chunks (bucket tail) share one zero upload
+    zero_ext = zero_koff = None
     with timer.stage("dispatch_loop"):
-        for k in range(n_seg_pad):
-            if k < n_seg:
-                if enc is not None:
-                    with timer.stage("  encode_chunks"):
-                        enc.ensure((k * seg_len + seg_len + right) * raw_mult)
-                with timer.stage("  build_upload"):
-                    ext_arg = jnp.asarray(build_ext(k))
-            else:
+        outs = []
+        for j in range(p.n_chunk):
+            if j * GROUP >= p.n_seg:
                 if zero_ext is None:
-                    zero_ext = jnp.asarray(np.full(buf_len, fill, pcm.dtype))
-                ext_arg = zero_ext
-            # async: segment k+1's upload streams while k computes
-            outs.append(seg_fn(ext_arg, dc_d, peak_d,
-                               jnp.asarray(min(k, n_seg) * seg_len, jnp.int32),
-                               nv_raw, pt, so, bt, ds))
+                    zero_ext = jnp.asarray(
+                        np.full((GROUP, p.buf_len), p.fill, p.pcm.dtype))
+                    zero_koff = jnp.asarray(
+                        np.full(GROUP, p.n_seg * p.seg_len, np.int32))
+                ext_arg, koff_arg = zero_ext, zero_koff
+            else:
+                if p.enc is not None:
+                    with timer.stage("  encode_chunks"):
+                        last = min(j * GROUP + GROUP, p.n_seg) - 1
+                        p.enc.ensure((last * p.seg_len + p.seg_len
+                                      + p.right) * p.raw_mult)
+                with timer.stage("  build_upload"):
+                    exts, koffs = _chunk_host(p, j)
+                    ext_arg = jnp.asarray(exts)
+                    koff_arg = jnp.asarray(koffs)
+            outs.append(p.vseg(ext_arg, p.dc_d, p.peak_d, koff_arg,
+                               p.nv_raw, p.pt, p.so, p.bt, p.ds))
 
     with timer.stage("assemble_dispatch"):
-        assemble = _assemble_program(n_seg_pad, dims, fs, float(cfg.bitrate))
-        params = eng.fused_inputs(cfg, fs)
-        out = assemble(*[tuple(o[i] for o in outs) for i in range(5)],
-                       nv_dec, params["trig_i"], params["trig_f"],
-                       params["hdr_rel"],
-                       params["calib_off"], params["coeff_defaults"],
-                       params["temp_lut"], params["limits"])
+        out = p.assemble(*[tuple(o[i] for o in outs) for i in range(5)],
+                         p.nv_dec, *p.params)
     with timer.stage("fetch"):
         host = jax.device_get(out)  # the decode's one blocking transfer
     with timer.stage("host_finish"):
-        return eng.finish_result(host, fs_report, n, fs, cfg, wire_used=w)
+        return eng.finish_result(host, p.fs_report, p.n, p.fs, p.cfg,
+                                 wire_used=p.w)
+
+
+class PrestagedDrop:
+    """A drop staged for device-resident decode: every grouped segment
+    buffer already in HBM, the constant tables staged, the programs
+    compiled.  ``decode()`` then measures/ships pure device capability —
+    segment dispatches + assemble + one packed-result fetch — with no
+    wire upload in the loop.  This is the steady state of corpus jobs
+    that keep hot drops resident, and the surface bench.py's resident
+    child measures (it is what a locally attached chip gets end to end).
+    """
+
+    def __init__(self, plan: _DropPlan, chunks, kchunks,
+                 fused: bool = False):
+        self.plan = plan
+        self.chunks = chunks
+        self.kchunks = kchunks
+        self.fused = fused
+        if fused:  # one (n_chunk, GROUP, buf_len) stack, one dispatch
+            self.ext_all = jnp.stack(chunks)
+            self.koff_all = jnp.stack(kchunks)
+            p = plan
+            self._prog = _resident_program(
+                p.n_chunk, p.dims, p.fs, float(p.cfg.bitrate), p.npcm,
+                p.cfg.bit_inset, 100, p.integer_input, p.decim2, p.wire4)
+
+    def dispatch(self):
+        """Queue the full decode; returns the assemble's device output
+        without blocking (back-to-back dispatches pipeline: decode i's
+        result fetch rides under decode i+1's compute)."""
+        p = self.plan
+        if self.fused:
+            return self._prog(self.ext_all, p.dc_d, p.peak_d,
+                              self.koff_all, p.nv_raw, p.nv_dec, p.pt,
+                              p.so, p.bt, p.ds, *p.params)
+        return _dispatch_chunks(p, self.chunks, self.kchunks)
+
+    def finish(self, out) -> DecodeResult:
+        """Fetch + host-finish a ``dispatch()`` output."""
+        p = self.plan
+        return eng.finish_result(jax.device_get(out), p.fs_report, p.n,
+                                 p.fs, p.cfg, wire_used=p.w)
+
+    def decode(self) -> DecodeResult:
+        return self.finish(self.dispatch())
+
+
+def prestage_waveform(pcm, fs, config: DecoderConfig | None = None,
+                      wire: str = "int8",
+                      fused: bool = False) -> PrestagedDrop:
+    """Encode + upload every segment chunk of ``pcm`` to the device and
+    block until staged; the returned PrestagedDrop decodes with zero
+    host->device traffic (one ~245 KB packed result comes back per
+    decode).  Default wire is int8 — resident decode is compute-bound,
+    so the upload saving of int4 buys nothing once staged.  ``fused``
+    runs the whole decode as ONE device dispatch (_resident_program)
+    instead of n_chunk+1 — no per-chunk dispatch overhead, at the cost
+    of a one-time extra compile."""
+    from ..utils.profiling import StageTimer
+
+    p = _plan_waveform(pcm, fs, config, wire, StageTimer())
+    if p.enc is not None:
+        p.enc.ensure(p.n_raw)
+    chunks, kchunks = [], []
+    for j in range(p.n_chunk):
+        exts, koffs = _chunk_host(p, j)
+        chunks.append(jax.device_put(jnp.asarray(exts)))
+        kchunks.append(jax.device_put(jnp.asarray(koffs)))
+    for c in chunks + kchunks:
+        c.block_until_ready()
+    return PrestagedDrop(p, chunks, kchunks, fused=fused)

@@ -22,7 +22,13 @@ Two implementations:
   mirroring the GSW C library (used by the byte-parity engine and as the
   ``gsw`` stand-in when generating reference goldens).
 * :func:`sp_from_c` — JAX, branchless (``jnp.where``), jit/vmap-safe,
-  dtype-polymorphic; the TPU engine's salinity kernel.
+  dtype-polymorphic.  NOT on the shipped decode path: round 4 moved
+  science conversion + QC to the host float64 path (models.convert —
+  parity-faithful by construction, and ~1-2k rows/drop is off the
+  decode's critical path even at batch-64).  Kept, tested against
+  sp_from_c_np over the full (C, t, p) grid, as the device alternative
+  for workloads that want conversion fused on-chip (e.g. a mesh job
+  post-processing profiles without a host round-trip).
 
 Validated against the canonical UNESCO check values (R=1, t68=15, p=0 ->
 SP=35 exactly; R=1.2, t68=20, p=2000 -> 37.245628; R=0.65, t68=5,

@@ -5,8 +5,10 @@ Primary metric: realtime factor — seconds of 44.1 kHz AXCTD audio fully
 decoded (WAV-conditioned PCM -> QC'd T/C/S/z profile + header metadata)
 per second of wall clock, for the segmented TPU engine on a 600 s drop
 over the default wire ("auto" = noise-shaped int4 on real TPU).  Extra
-fields report the lossless-class int8 wire, the batched 64-drop
-pipelined decode, and the 64-WAV archive-runner corpus throughput.
+fields report the device-resident decode (prestaged HBM buffers — the
+compute capability a locally attached chip gets end to end), the
+lossless-class int8 wire, the batched 64-drop pipelined decode, and the
+64-WAV archive-runner corpus throughput.
 
 Each metric runs in its OWN subprocess: repeated heavy decodes inside
 one process slow down 2-3x on the relay (measured — see
@@ -14,6 +16,23 @@ one process slow down 2-3x on the relay (measured — see
 sequential metrics would understate whatever ran last.  The persistent
 compile cache in .jax_cache makes the children's compiles no-ops after
 their first-ever run.
+
+The bench treats its own output as a product with an SLO (three driver
+runs were lost to kills with nothing printed):
+
+* a GLOBAL DEADLINE (AXCTD_BENCH_DEADLINE_S, default 1800 s) is checked
+  before every child; children that no longer fit are SKIPPED and the
+  line still prints with whatever was measured;
+* metrics run HEADLINE-FIRST (single_auto, then resident, then the
+  secondary children) so an early kill still records the number that
+  matters;
+* after every child the current partial JSON is flushed to stderr
+  (``# partial {...}``), and SIGTERM/SIGINT print the final line with
+  whatever exists before exiting — the driver's ``timeout`` kill
+  therefore still yields a parseable record in the tail;
+* every child prints its own one-line ``#CHILD {...}`` JSON to stderr
+  as it finishes (even on assert failure) for post-mortem forensics;
+* the relay outage probe is capped (~10 min) instead of unbounded.
 
 Before timing, an on-TPU smoke check compares the fused Pallas tone
 kernel against the MXU GEMM path on 1 s of audio — Mosaic-lowering
@@ -23,11 +42,12 @@ regressions fail the bench loudly instead of silently skewing it.
 this container's CPU (BASELINE_MEASURED.json: 22.66x realtime; the
 reference publishes no benchmarks of its own — SURVEY.md 6).
 
-Prints exactly one JSON line.
+Prints exactly one JSON line on stdout.
 """
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -50,6 +70,20 @@ CORPUS_DROPS = 64      # archive-runner measurement (BASELINE.md:27 scale unit)
 WAV = os.path.join(tempfile.gettempdir(), "bench_drop600.wav")
 PARITY_CACHE = os.path.join(tempfile.gettempdir(), "bench_drop600_parity.txt")
 CORPUS_DIR = os.path.join(tempfile.gettempdir(), "bench_corpus64")
+
+DEADLINE_S = float(os.environ.get("AXCTD_BENCH_DEADLINE_S", "1800"))
+_T0 = time.monotonic()
+
+# what the children record as they go; dumped to stderr on exit so a
+# killed/asserted child still leaves its numbers behind
+CHILD_REC: dict = {}
+
+# the accumulating bench record; _emit() serializes it after every child
+RESULT: dict = {}
+
+
+def _remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - _T0)
 
 
 def _write_drop():
@@ -147,17 +181,21 @@ def child_single(wire: str) -> None:
     """Timed single-file decode in a fresh process; prints WALL seconds."""
     from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
 
+    t0 = time.perf_counter()
     res = decode_wav_tpu(WAV, wire=wire)  # warmup: compile + first D2H
+    CHILD_REC["warmup_s"] = round(time.perf_counter() - t0, 3)
     assert res.status == 2 and len(res.time) > 1000, (
         f"warmup decode failed: status={res.status} rows={len(res.time)}")
     assert res.metadata["serial_no"] == _truth_serial()
     assert res.overflow == 0, f"clipped decode: overflow={res.overflow}"
     n_frames = len(res.hexframes)
+    CHILD_REC["frames"] = n_frames
     # correctness gate vs the byte-exact parity engine (not just "many
     # frames": a symmetric frame-loss regression must fail here)
     parity = set(open(PARITY_CACHE).read().split())
     got = set(res.hexframes)
     agree = len(got & parity) / max(len(got | parity), 1)
+    CHILD_REC["agree"] = round(agree, 4)
     # every wire measures 1.0 on the bench drop (r4); the noise-shaped
     # int4 wire tests >= 0.998 on noisy drops — hold the headline to
     # int8-class correctness, not the old 0.97 concession
@@ -169,104 +207,47 @@ def child_single(wire: str) -> None:
         t0 = time.perf_counter()
         res = decode_wav_tpu(WAV, wire=wire)
         times.append(time.perf_counter() - t0)
+        CHILD_REC["wall_s"] = round(min(times), 4)
     assert abs(len(res.hexframes) - n_frames) <= 0.01 * n_frames
     print(f"WALL {min(times):.6f} FRAMES {n_frames} WIRE {res.wire} "
           f"AGREE {agree:.4f}")
 
 
 def child_resident() -> None:
-    """Device-resident decode throughput: every segment ext buffer
-    pre-staged in HBM, then time (segment dispatches + assemble +
-    packed-result fetch) for the 600 s drop.  This is the compute
+    """Device-resident decode throughput through the PUBLIC prestaged
+    API (segmented.prestage_waveform): every grouped segment buffer
+    pre-staged in HBM, then time (grouped dispatches + chunked assemble
+    + packed-result fetch) for the 600 s drop.  This is the compute
     capability a locally attached chip gets — the end-to-end children
     pay the relay wire (upload + fetch latency) on top of it; prints
-    WALL seconds."""
+    WALL seconds plus the pipelined sustained-throughput TPUT."""
     import jax
-    import jax.numpy as jnp
 
-    from axctdprocessor_tpu.models import segmented, tpu_engine as eng
-    from axctdprocessor_tpu.ops import wire as wire_ops
-    from axctdprocessor_tpu.utils.config import DecoderConfig
+    from axctdprocessor_tpu.models.segmented import prestage_waveform
     from axctdprocessor_tpu.utils.wavio import read_wav_raw16
 
-    cfg = DecoderConfig()
     raw, fs = read_wav_raw16(WAV)
-    fs = float(fs)
-    q = wire_ops.quantize_int8(raw)  # int8: plain-sliced ext buffers
-    n = len(q)
+    t0 = time.perf_counter()
+    st = prestage_waveform(raw, float(fs), wire="int8")
+    CHILD_REC["prestage_s"] = round(time.perf_counter() - t0, 3)
 
-    d_pcm, n_power, seg_len, right, c_seg = segmented._seg_geometry(fs)
-    npcm = (int(np.round(fs / cfg.bitrate * (1 - cfg.phase_error / 100)))
-            - 2 * cfg.bit_inset)
-    ext_len = segmented.LEFT_HALO + seg_len + right
-    n_seg = max(int(np.ceil(n / seg_len)), 1)
-    n_seg_pad = segmented._bucket_count(n_seg)
-    dims = eng.EngineDims.for_waveform(n_seg_pad * seg_len, fs, cfg.bitrate,
-                                       npcm)
-    power_trig, bit_trig, sos = eng.engine_tables(cfg, fs, dims)
-    seg_fn = segmented._segment_program(fs, npcm, cfg.bit_inset, 100, True)
-    pt, so, bt = (jnp.asarray(a, jnp.float32)
-                  for a in (power_trig, sos, bit_trig))
-    ds = jnp.asarray(np.zeros((1, 6)), jnp.float32)
-    dc = jnp.asarray(np.float32(np.mean(q)))
-    peak = jnp.asarray(np.float32(max(int(q.max()), -int(q.min()), 1)))
-    nv = jnp.asarray(n, jnp.int32)
-
-    def build_ext(k):
-        lo = k * seg_len - segmented.LEFT_HALO
-        hi = k * seg_len + seg_len + right
-        ext = np.zeros(ext_len, q.dtype)
-        s_lo, s_hi = max(lo, 0), min(hi, n)
-        ext[s_lo - lo : s_hi - lo] = q[s_lo:s_hi]
-        return ext
-
-    # grouped dispatch (A/B'd on chip, bench_artifacts/resident_group.json):
-    # vmapped chunks of 4 segments per dispatch + the chunked assemble cut
-    # resident wall 173.7 -> 148.2 ms vs one-dispatch-per-segment; larger
-    # groups (14+) were slower AND numerically wrong on the relay's
-    # batched-FFT path, so the group size stays fixed at 4.
-    GROUP = 4
-    n_chunk = (n_seg_pad + GROUP - 1) // GROUP
-    exts_np = np.stack([build_ext(k) if k < n_seg else
-                        np.zeros(ext_len, q.dtype)
-                        for k in range(n_chunk * GROUP)])
-    koffs_np = np.asarray([min(k, n_seg) * seg_len
-                           for k in range(n_chunk * GROUP)], np.int32)
-    chunks = [jax.device_put(jnp.asarray(exts_np[j*GROUP:(j+1)*GROUP]))
-              for j in range(n_chunk)]
-    kchunks = [jax.device_put(jnp.asarray(koffs_np[j*GROUP:(j+1)*GROUP]))
-               for j in range(n_chunk)]
-    vseg = jax.jit(jax.vmap(
-        seg_fn, in_axes=(0, None, None, 0, None, None, None, None, None)))
-    assemble = segmented._assemble_program_chunked(dims, fs,
-                                                   float(cfg.bitrate))
-    params = eng.fused_inputs(cfg, fs)
-
-    def run_async():
-        outs = [vseg(chunks[j], dc, peak, kchunks[j], nv, pt, so, bt, ds)
-                for j in range(n_chunk)]
-        return assemble(*[tuple(o[i] for o in outs) for i in range(5)],
-                        nv, params["trig_i"], params["trig_f"],
-                        params["hdr_rel"], params["calib_off"],
-                        params["coeff_defaults"], params["temp_lut"],
-                        params["limits"])
-
-    def run():
-        return jax.device_get(run_async())
-
-    host = run()  # warmup (compile + first D2H)
-    res = eng.finish_result(host, 44100, n, fs, cfg)
+    t0 = time.perf_counter()
+    res = st.decode()  # warmup (compile + first D2H)
+    CHILD_REC["warmup_s"] = round(time.perf_counter() - t0, 3)
     assert res.status == 2 and res.metadata["serial_no"] == _truth_serial()
     parity = set(open(PARITY_CACHE).read().split())
     got = set(res.hexframes)
     agree = len(got & parity) / max(len(got | parity), 1)
-    assert agree > 0.97, f"resident decode agreement {agree:.4f}"
+    CHILD_REC["frames"] = len(res.hexframes)
+    CHILD_REC["agree"] = round(agree, 4)
+    assert agree > 0.99, f"resident decode agreement {agree:.4f}"
 
     times = []
     for _ in range(max(REPEATS, 4)):
         t0 = time.perf_counter()
-        run()
+        jax.device_get(st.dispatch())
         times.append(time.perf_counter() - t0)
+        CHILD_REC["wall_s"] = round(min(times), 4)
 
     # sustained resident throughput: K back-to-back decodes with every
     # result fetched after the last dispatch, so decode i's result fetch
@@ -276,10 +257,11 @@ def child_resident() -> None:
     tput = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        outs_k = [run_async() for _ in range(K)]
+        outs_k = [st.dispatch() for _ in range(K)]
         for o in outs_k:
             jax.device_get(o)
         tput = min(tput, (time.perf_counter() - t0) / K)
+        CHILD_REC["tput_s"] = round(tput, 4)
 
     print(f"WALL {min(times):.6f} FRAMES {len(res.hexframes)} "
           f"AGREE {agree:.4f} TPUT {tput:.6f}")
@@ -294,7 +276,9 @@ def child_batch() -> None:
     batches = [(batch[i:i + BATCH_SUB], lengths)
                for i in range(0, BATCH_DROPS, BATCH_SUB)]
 
+    t0 = time.perf_counter()
     piped = decode_batches_pipelined(batches, 44100)  # warmup + compile
+    CHILD_REC["warmup_s"] = round(time.perf_counter() - t0, 3)
     flat = [r for b in piped for r in b]
     ok = sum(r.status == 2 and r.metadata["serial_no"] == truth["serial_no"]
              for r in flat)
@@ -305,6 +289,7 @@ def child_batch() -> None:
         t0 = time.perf_counter()
         decode_batches_pipelined(batches, 44100)
         times.append(time.perf_counter() - t0)
+        CHILD_REC["wall_s"] = round(min(times), 4)
     print(f"WALL {min(times):.6f} FRAMES {sum(len(r.hexframes) for r in flat)}")
 
 
@@ -331,8 +316,10 @@ def child_corpus() -> None:
 
     out = os.path.join(tempfile.gettempdir(), "bench_corpus_out")
     shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
     manifest = reprocess_corpus(paths, out, batch_size=BATCH_SUB,
                                 resume=False)  # warmup + compile
+    CHILD_REC["warmup_s"] = round(time.perf_counter() - t0, 3)
     done = sum(1 for v in manifest["files"].values() if v["status"] == "done")
     assert done == CORPUS_DROPS, f"corpus warmup: {done}/{CORPUS_DROPS}"
 
@@ -342,16 +329,19 @@ def child_corpus() -> None:
         t0 = time.perf_counter()
         reprocess_corpus(paths, out, batch_size=BATCH_SUB, resume=False)
         times.append(time.perf_counter() - t0)
+        CHILD_REC["wall_s"] = round(min(times), 4)
     print(f"WALL {min(times):.6f} FRAMES {done}")
 
 
 def _run_child(mode: str, timeout: float = 2400.0):
-    """Run one metric in a fresh interpreter; returns (wall_s, agree).
+    """Run one metric in a fresh interpreter; returns (wall_s, agree,
+    tput_s).
 
-    ``agree`` is the child's frame agreement vs the parity engine, or
-    None for modes that don't print one.  A hung child (relay outage)
-    raises RuntimeError like any other failure — never TimeoutExpired
-    (round 3's bench died on exactly that unhandled exception).
+    ``agree`` is the child's frame agreement vs the parity engine and
+    ``tput_s`` its pipelined sustained per-decode wall; None for modes
+    that don't print them.  A hung child (relay outage) raises
+    RuntimeError like any other failure — never TimeoutExpired (round
+    3's bench died on exactly that unhandled exception).
     """
     try:
         proc = subprocess.run(
@@ -360,6 +350,9 @@ def _run_child(mode: str, timeout: float = 2400.0):
             cwd=os.path.dirname(os.path.abspath(__file__)))
     except subprocess.TimeoutExpired as e:
         raise RuntimeError(f"child {mode} hung (> {timeout:.0f} s)") from e
+    for line in (proc.stderr or "").splitlines():
+        if line.startswith("#CHILD "):
+            print(line, file=sys.stderr, flush=True)  # forensic record
     for line in (proc.stdout or "").splitlines():
         if line.startswith("WALL "):
             toks = line.split()
@@ -373,90 +366,64 @@ def _run_child(mode: str, timeout: float = 2400.0):
         f"child {mode} rc={proc.returncode}: {proc.stderr[-2000:]}")
 
 
-def _probe_backend(max_attempts: int = 30) -> bool:
-    """Wait out a relay outage.  Probed in a SUBPROCESS (jax caches a
-    failed backend init for the life of a process) with BOTH observed
-    outage modes handled: error exit AND indefinite hang (round 3's
-    bench crashed on the hang mode — TimeoutExpired was unhandled)."""
+def _probe_backend(max_attempts: int = 30, max_wait_s: float = 600.0) -> bool:
+    """Wait out a relay outage — but BOUNDED (default ~10 min): an
+    unbounded wait starved round 4's children of the whole driver
+    budget.  Probed in a SUBPROCESS (jax caches a failed backend init
+    for the life of a process) with BOTH observed outage modes handled:
+    error exit AND indefinite hang."""
+    t0 = time.monotonic()
     for attempt in range(max_attempts):
+        budget = min(120.0, max_wait_s - (time.monotonic() - t0))
+        if budget <= 0:
+            break
         try:
             probe = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, text=True, timeout=180)
+                capture_output=True, text=True, timeout=budget)
             if probe.returncode == 0:
                 return True
             msg = (probe.stderr.strip().splitlines()[-1]
                    if probe.stderr else "?")
         except subprocess.TimeoutExpired:
-            msg = "probe hung > 180 s"
+            msg = f"probe hung > {budget:.0f} s"
         print(f"# backend unavailable (attempt {attempt + 1}): {msg}",
-              file=sys.stderr)
-        time.sleep(60)
+              file=sys.stderr, flush=True)
+        if time.monotonic() - t0 + 30 > max_wait_s:
+            break
+        time.sleep(30)
     return False
 
 
-def _try_child(mode: str, attempts: int = 2, timeout: float = 2400.0):
-    """(wall, agree) or (None, None); waits out mid-run outages between
-    attempts so one relay blip can't null a metric."""
+def _try_child(mode: str, attempts: int = 2, timeout: float = 2400.0,
+               est_s: float = 240.0):
+    """(wall, agree, tput) or (None, None, None); waits out mid-run
+    outages between attempts so one relay blip can't null a metric.
+    Respects the global deadline: a child that no longer fits is skipped
+    (recorded in RESULT["skipped"]) instead of blowing the budget."""
     for i in range(attempts):
+        left = _remaining()
+        if left < est_s:
+            print(f"# skipping {mode}: {left:.0f} s left < {est_s:.0f} s "
+                  f"estimate", file=sys.stderr, flush=True)
+            RESULT.setdefault("skipped", []).append(mode)
+            return None, None, None
         try:
-            return _run_child(mode, timeout=timeout)
+            return _run_child(mode, timeout=max(min(timeout, left - 20), 60))
         except Exception as e:
             print(f"# child {mode} attempt {i + 1}/{attempts} failed: {e}",
-                  file=sys.stderr)
-            if i + 1 < attempts:
-                _probe_backend(max_attempts=10)
+                  file=sys.stderr, flush=True)
+            if i + 1 < attempts and _remaining() > est_s + 60:
+                _probe_backend(max_attempts=10,
+                               max_wait_s=min(300.0, _remaining() / 3))
     return None, None, None
 
 
-def main():
-    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
-        mode = sys.argv[2]
-        if mode == "single_auto":
-            child_single("auto")  # noise-shaped int4 on real TPU
-        elif mode == "single_int8":
-            child_single("int8")
-        elif mode == "resident":
-            child_resident()
-        elif mode == "batch":
-            child_batch()
-        elif mode == "corpus":
-            child_corpus()
-        elif mode == "smoke":
-            print(f"WALL {0.0 if pallas_smoke() else -1.0:.6f}")
-        else:
-            raise SystemExit(f"unknown child mode {mode}")
-        return
-
-    # the relay backend has outage windows (observed: init raises
-    # UNAVAILABLE for tens of minutes, OR hangs); wait them out rather
-    # than crashing an unattended bench run.
-    backend_ok = _probe_backend()
-
-    # everything below must not import jax in THIS process: host-side
-    # prep is numpy-only, and all device work happens in retried,
-    # timeout-bounded children — the bench always prints its JSON line.
-    _write_drop()
-    _parity_frames()  # correctness reference for the timed children
-
-    smoke_wall, _, _ = _try_child("smoke")  # Pallas-vs-MXU hardware check
-    smoke = smoke_wall == 0.0
-
-    wall, agree_auto, _ = _try_child("single_auto", attempts=3)
-    wall_int8, agree_int8, _ = _try_child("single_int8")
-    int8_rtf = round(DURATION / wall_int8, 1) if wall_int8 else None
-
-    wall_res, agree_res, tput_res = _try_child("resident")
-    resident_rtf = round(DURATION / wall_res, 1) if wall_res else None
-
-    batch_wall, _, _ = _try_child("batch", attempts=3)
-    batch_rtf = (round(BATCH_DROPS * BATCH_SECONDS / batch_wall, 1)
-                 if batch_wall else None)
-
-    corpus_wall, _, _ = _try_child("corpus")
-    corpus_rtf = (round(CORPUS_DROPS * BATCH_SECONDS / corpus_wall, 1)
-                  if corpus_wall else None)
-
+def _payload() -> dict:
+    """The bench JSON from whatever RESULT currently holds."""
+    r = RESULT
+    wall = r.get("wall_auto")
+    wall_int8 = r.get("wall_int8")
     # headline: the default-wire single-file decode; degrade to the
     # lossless int8 wire if the auto child never succeeded, so a partial
     # outage still records a real measured number instead of nothing.
@@ -467,29 +434,129 @@ def main():
         wall = wall_int8
     else:
         rtf, headline_wire = 0.0, None  # relay never came back
-
-    print(json.dumps({
+    wall_res, tput_res = r.get("wall_res"), r.get("tput_res")
+    batch_wall, corpus_wall = r.get("batch_wall"), r.get("corpus_wall")
+    out = {
         "metric": "decode_realtime_factor",
         "value": round(rtf, 1),
         "unit": "audio_sec/sec/chip",
         "vs_baseline": round(rtf / REFERENCE_RTF, 2),
         "single_wall_s": round(wall, 3) if wall else None,
         "wire_auto": headline_wire,
-        "frame_agreement_auto": agree_auto,
-        "frame_agreement_int8": agree_int8,
-        "frame_agreement_resident": agree_res,
-        "int8_rtf": int8_rtf,
-        "resident_rtf": resident_rtf,
+        "frame_agreement_auto": r.get("agree_auto"),
+        "frame_agreement_int8": r.get("agree_int8"),
+        "frame_agreement_resident": r.get("agree_res"),
+        "int8_rtf": (round(DURATION / wall_int8, 1) if wall_int8 else None),
+        "resident_rtf": (round(DURATION / wall_res, 1) if wall_res else None),
         "resident_tput_rtf": (round(DURATION / tput_res, 1)
                               if tput_res else None),
-        "batch_rtf": batch_rtf,
+        "batch_rtf": (round(BATCH_DROPS * BATCH_SECONDS / batch_wall, 1)
+                      if batch_wall else None),
         "batch_drops": BATCH_DROPS,
         "batch_wall_s": round(batch_wall, 3) if batch_wall else None,
-        "corpus_rtf": corpus_rtf,
+        "corpus_rtf": (round(CORPUS_DROPS * BATCH_SECONDS / corpus_wall, 1)
+                       if corpus_wall else None),
         "corpus_drops": CORPUS_DROPS,
-        "pallas_smoke": bool(smoke),
-        "backend_ok": bool(backend_ok),
-    }))
+        "pallas_smoke": r.get("smoke"),
+        "backend_ok": r.get("backend_ok"),
+    }
+    if r.get("skipped"):
+        out["skipped"] = r["skipped"]
+    return out
+
+
+_FINAL_PRINTED = False
+
+
+def _emit(final: bool) -> None:
+    """Flush the current record: partials go to stderr after every child
+    (a killed run still leaves the numbers in the tail); the final line
+    is the one stdout JSON line of record."""
+    global _FINAL_PRINTED
+    if final:
+        if not _FINAL_PRINTED:
+            _FINAL_PRINTED = True
+            print(json.dumps(_payload()), flush=True)
+    else:
+        print("# partial " + json.dumps(_payload()), file=sys.stderr,
+              flush=True)
+
+
+def _terminate(signum, frame):  # pragma: no cover - exercised by driver
+    RESULT.setdefault("skipped", []).append(f"signal{signum}")
+    _emit(final=True)
+    os._exit(0)
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--child":
+        mode = sys.argv[2]
+        CHILD_REC["mode"] = mode
+        try:
+            if mode == "single_auto":
+                child_single("auto")  # noise-shaped int4 on real TPU
+            elif mode == "single_int8":
+                child_single("int8")
+            elif mode == "resident":
+                child_resident()
+            elif mode == "batch":
+                child_batch()
+            elif mode == "corpus":
+                child_corpus()
+            elif mode == "smoke":
+                print(f"WALL {0.0 if pallas_smoke() else -1.0:.6f}")
+            else:
+                raise SystemExit(f"unknown child mode {mode}")
+        finally:
+            # forensic one-liner: even a child that asserts mid-run
+            # leaves whatever it measured in the parent's stderr
+            print("#CHILD " + json.dumps(CHILD_REC), file=sys.stderr,
+                  flush=True)
+        return
+
+    signal.signal(signal.SIGTERM, _terminate)
+    signal.signal(signal.SIGINT, _terminate)
+
+    # the relay backend has outage windows (observed: init raises
+    # UNAVAILABLE for tens of minutes, OR hangs); wait them out — but
+    # bounded, leaving the children most of the deadline budget.
+    RESULT["backend_ok"] = _probe_backend(
+        max_wait_s=min(600.0, DEADLINE_S / 3))
+
+    # everything below must not import jax in THIS process: host-side
+    # prep is numpy-only, and all device work happens in retried,
+    # timeout-bounded children — the bench always prints its JSON line.
+    _write_drop()
+    _parity_frames()  # correctness reference for the timed children
+
+    # headline first, then the resident capability number, then the
+    # secondary metrics — an early kill costs the least valuable child
+    wall, agree, _ = _try_child("single_auto", attempts=2, est_s=240)
+    RESULT["wall_auto"], RESULT["agree_auto"] = wall, agree
+    _emit(final=False)
+
+    wall_res, agree_res, tput_res = _try_child("resident", est_s=240)
+    RESULT["wall_res"] = wall_res
+    RESULT["agree_res"] = agree_res
+    RESULT["tput_res"] = tput_res
+    _emit(final=False)
+
+    smoke_wall, _, _ = _try_child("smoke", attempts=1, est_s=120)
+    RESULT["smoke"] = smoke_wall == 0.0  # Pallas-vs-MXU hardware check
+    _emit(final=False)
+
+    wall_int8, agree_int8, _ = _try_child("single_int8", est_s=180)
+    RESULT["wall_int8"], RESULT["agree_int8"] = wall_int8, agree_int8
+    _emit(final=False)
+
+    batch_wall, _, _ = _try_child("batch", attempts=2, est_s=240)
+    RESULT["batch_wall"] = batch_wall
+    _emit(final=False)
+
+    corpus_wall, _, _ = _try_child("corpus", est_s=240)
+    RESULT["corpus_wall"] = corpus_wall
+
+    _emit(final=True)
 
 
 if __name__ == "__main__":

@@ -59,3 +59,30 @@ def record_report(name: str, main_fn) -> None:
     finally:
         sys.stdout = tee.orig
     record(name, {"report": tee.buf.strip().splitlines()})
+
+
+def record_runs(name: str, main_fn) -> None:
+    """Like record_report, but ACCUMULATES: each invocation (one mode
+    per fresh process, the relay A/B discipline) appends its printed
+    report to the artifact's ``runs`` list, so the committed file
+    captures every configuration tried — including the ones that lost
+    (ADVICE r4: resident_group.json recorded only a g2 run while the
+    shipped constant was picked by a g4 run)."""
+    tee = _Tee(sys.stdout)
+    sys.stdout = tee
+    try:
+        main_fn()
+    finally:
+        sys.stdout = tee.orig
+    path = os.path.join(ART_DIR, f"{name}.json")
+    runs = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            runs = prev.get("runs", [])
+        except Exception:
+            runs = []
+    runs.append({"recorded_at": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+                 "report": tee.buf.strip().splitlines()})
+    record(name, {"runs": runs})

@@ -123,9 +123,13 @@ def main():
     elif os.path.exists(man_path):
         with open(man_path) as f:
             prev = json.load(f)
+        # 'done' ONLY: reprocess_corpus(resume=True) re-decodes previously
+        # FAILED files, so their audio must count toward this run's
+        # corpus_rtf denominator (ADVICE r4: counting them as skipped
+        # biased corpus_rtf low and overstated resumed_from)
         prev_done = {n for n, v in prev.get("files", {}).items()
-                     if v["status"] in ("done", "failed")}
-        print(f"resuming: {len(prev_done)} files already accounted")
+                     if v["status"] == "done"}
+        print(f"resuming: {len(prev_done)} files already done")
 
     timer = StageTimer()
     t0 = time.perf_counter()

@@ -1,15 +1,30 @@
 #!/usr/bin/env python3
-"""Device-resident A/B: per-segment dispatch loop vs ONE vmapped
-dispatch over all segments.
+"""Device-resident A/B: dispatch grouping for the 600 s decode.
 
 Round 2 recorded grouped dispatch (2/4/8 segments) as a null result —
 but that was when wall was ~930 ms and segment compute ~9 ms.  With
-segment compute now ~2.7 ms, the host-side enqueue cost of 28 separate
-dispatches (arg staging + dispatch python) could be a real fraction of
-a ~100 ms resident decode; the BASELINE <100 ms target needs this
-measured again.  Usage: one mode per fresh process:
+segment compute now ~2.7 ms, the relay's ~2.6 ms per-dispatch overhead
+is a real fraction of a ~150 ms resident decode; round 4's re-run found
+g4 a clear win (173.7 -> 148.2 ms) and it now ships as segmented.GROUP.
+Usage: ONE mode per fresh process (relay decode walls drift 2-3x within
+a process):
 
-    microbench_resident_group.py loop | vmap
+    microbench_resident_group.py loop | gN | vmap | tput | public
+
+  loop    one dispatch per segment + the tuple assemble
+  gN      vmapped chunks of N segments + the chunked assemble (g4 = the
+          shipped group size)
+  vmap    one chunk of ALL segments — KNOWN BAD on the relay: at >= 14
+          segments per dispatch the batched-FFT path returns wrong tone
+          powers on later rows (and it is slower anyway); kept only to
+          re-check that bound after relay updates
+  tput    g4 + sustained K-deep pipelined throughput
+  public  the shipped API end to end: segmented.prestage_waveform +
+          PrestagedDrop.decode (should match g4 within noise — if it
+          does not, the product path has drifted from the bench)
+  fused   prestage_waveform(fused=True): the whole decode as ONE
+          dispatch (lax.map over 4-segment chunks) — removes the
+          n_chunk per-chunk dispatch boundaries
 """
 
 import os
@@ -33,6 +48,10 @@ WAV_SECONDS = 600.0
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "loop"
+    if not (mode in ("loop", "vmap", "tput", "public", "fused")
+            or (mode.startswith("g") and mode[1:].isdigit())):
+        raise SystemExit(f"unknown mode {mode!r}: want loop|gN|vmap|tput"
+                         f"|public|fused (see module docstring)")
     print("backend:", jax.default_backend(), "mode:", mode)
     cfg = DecoderConfig()
     spec = simulator.SimSpec(duration=WAV_SECONDS, profile_start=33.0,
@@ -41,6 +60,30 @@ def main():
     raw = np.round(pcm * 28000 / np.max(np.abs(pcm))).astype(np.int16)
     q = wire_ops.quantize_int8(raw)
     n = len(q)
+
+    if mode in ("public", "fused"):
+        st = segmented.prestage_waveform(raw, FS, wire="int8",
+                                         fused=(mode == "fused"))
+        res = st.decode()  # warmup
+        print("decode:", res.status, len(res.hexframes), "frames")
+        best = 1e9
+        for _ in range(6):
+            t0 = time.perf_counter()
+            jax.device_get(st.dispatch())
+            best = min(best, time.perf_counter() - t0)
+        print(f"resident wall ({mode}): {best*1e3:.1f} ms "
+              f"-> {WAV_SECONDS/best:.0f}x realtime")
+        K = 4
+        best_k = 1e9
+        for _ in range(4):
+            t0 = time.perf_counter()
+            outs_k = [st.dispatch() for _ in range(K)]
+            for o in outs_k:
+                jax.device_get(o)
+            best_k = min(best_k, (time.perf_counter() - t0) / K)
+        print(f"resident tput ({K} back-to-back): {best_k*1e3:.1f} ms/drop "
+              f"-> {WAV_SECONDS/best_k:.0f}x realtime")
+        return
 
     d_pcm, n_power, seg_len, right, c_seg = segmented._seg_geometry(FS)
     npcm = (int(np.round(FS / cfg.bitrate * (1 - cfg.phase_error / 100)))
@@ -189,6 +232,6 @@ def main():
 if __name__ == "__main__":
     import os as _os, sys as _sys
     _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
-    from _artifact import record_report
+    from _artifact import record_runs
 
-    record_report("resident_group", main)
+    record_runs("resident_group", main)

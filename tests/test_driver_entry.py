@@ -173,8 +173,9 @@ class TestBenchOutageHandling:
 
         monkeypatch.setattr(bench.subprocess, "run", always_hang)
         monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-        wall, agree = bench._try_child("single_auto", attempts=2, timeout=1.0)
-        assert wall is None and agree is None
+        wall, agree, tput = bench._try_child("single_auto", attempts=2,
+                                             timeout=1.0)
+        assert wall is None and agree is None and tput is None
 
     def test_run_child_parses_agreement(self, monkeypatch):
         import bench
@@ -187,5 +188,83 @@ class TestBenchOutageHandling:
             return P()
 
         monkeypatch.setattr(bench.subprocess, "run", fake_run)
-        wall, agree = bench._run_child("single_auto")
-        assert wall == 1.25 and agree == 0.9987
+        wall, agree, tput = bench._run_child("single_auto")
+        assert wall == 1.25 and agree == 0.9987 and tput is None
+
+    def test_run_child_parses_tput(self, monkeypatch):
+        import bench
+
+        def fake_run(cmd, timeout=None, **kw):
+            class P:
+                returncode = 0
+                stdout = "WALL 0.15 FRAMES 1500 AGREE 1.0000 TPUT 0.1200\n"
+                stderr = "#CHILD {\"mode\": \"resident\"}\n"
+            return P()
+
+        monkeypatch.setattr(bench.subprocess, "run", fake_run)
+        wall, agree, tput = bench._run_child("resident")
+        assert wall == 0.15 and agree == 1.0 and tput == 0.12
+
+
+class TestBenchDeadline:
+    """The global-deadline SLO: round 4's bench was killed mid-run with
+    NOTHING printed — children must be skipped when they no longer fit,
+    partials must flush after every child, and a kill signal must still
+    print the final JSON line."""
+
+    def test_try_child_skips_past_deadline(self, monkeypatch):
+        import bench
+
+        calls = {"n": 0}
+
+        def no_run(cmd, timeout=None, **kw):
+            calls["n"] += 1
+            raise AssertionError("child launched past the deadline")
+
+        monkeypatch.setattr(bench.subprocess, "run", no_run)
+        monkeypatch.setattr(bench, "_remaining", lambda: 30.0)
+        monkeypatch.setitem(bench.RESULT, "skipped", [])
+        out = bench._try_child("corpus", est_s=240.0)
+        assert out == (None, None, None)
+        assert calls["n"] == 0
+        assert "corpus" in bench.RESULT["skipped"]
+
+    def test_probe_backend_bounded_by_wait_budget(self, monkeypatch):
+        import bench
+
+        clock = {"t": 0.0}
+        monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])
+
+        def hang(cmd, timeout=None, **kw):
+            clock["t"] += timeout
+            raise subprocess.TimeoutExpired(cmd, timeout)
+
+        monkeypatch.setattr(bench.subprocess, "run", hang)
+        monkeypatch.setattr(bench.time, "sleep",
+                            lambda s: clock.__setitem__("t", clock["t"] + s))
+        assert bench._probe_backend(max_attempts=100, max_wait_s=300) is False
+        # the old unbounded loop would have burned 30 x 240 s here
+        assert clock["t"] <= 300 + 120
+
+    def test_emit_partial_then_final(self, monkeypatch, capsys):
+        import bench
+
+        monkeypatch.setattr(bench, "_FINAL_PRINTED", False)
+        monkeypatch.setattr(bench, "RESULT",
+                            {"wall_auto": 1.2, "agree_auto": 1.0})
+        bench._emit(final=False)
+        cap = capsys.readouterr()
+        assert cap.out == ""  # partials never pollute the stdout line
+        assert cap.err.startswith("# partial ")
+        import json as _json
+
+        partial = _json.loads(cap.err.split("# partial ", 1)[1])
+        assert partial["value"] == 500.0
+
+        bench._emit(final=True)
+        bench._emit(final=True)  # idempotent: exactly one line of record
+        cap = capsys.readouterr()
+        assert cap.out.count("\n") == 1
+        final = _json.loads(cap.out)
+        assert final["value"] == 500.0
+        assert final["single_wall_s"] == 1.2

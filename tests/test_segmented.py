@@ -55,9 +55,9 @@ def test_segment_program_shared_across_lengths(drop130):
     stage-1 compilation, the whole point of segmenting."""
     pcm, truth = drop130
     x = _conditioned(pcm)
-    seg_info_before = segmented._segment_program.cache_info()
+    seg_info_before = segmented._segment_program_grouped.cache_info()
     res70 = segmented.decode_waveform_segmented(x[: int(70 * 44100)], 44100)
-    seg_info_after = segmented._segment_program.cache_info()
+    seg_info_after = segmented._segment_program_grouped.cache_info()
     assert res70.status == 2
     assert res70.metadata["serial_no"] == truth["serial_no"]
     # same (fs, geometry) key -> cache hit, no new segment program
@@ -97,10 +97,11 @@ def test_zero_segment_padding_is_neutral(drop130, monkeypatch):
     assert padded.time == base.time
 
 
-def test_grouped_dispatch_matches_segmented(drop130):
-    """The grouped-dispatch resident path (vmapped chunks of segments +
-    the chunked assemble, bench.py child_resident) decodes identically
-    to the per-segment dispatch loop."""
+def test_grouped_dispatch_matches_per_segment_loop(drop130):
+    """The product decode path (GROUP-segment vmapped dispatch + chunked
+    assemble — what decode_waveform_segmented now ships) decodes
+    identically to a one-dispatch-per-segment loop over the stream
+    decoder's program pair (_segment_program + the tuple assemble)."""
     import jax
     import jax.numpy as jnp
 
@@ -132,9 +133,6 @@ def test_grouped_dispatch_matches_segmented(drop130):
     peak = jnp.asarray(np.float32(max(int(q.max()), -int(q.min()), 1)))
     nv = jnp.asarray(n, jnp.int32)
 
-    GROUP = 2  # 3 real segments -> 2 chunks, one with a zero-pad row
-    n_chunk = (n_seg_pad + GROUP - 1) // GROUP
-
     def build_ext(k):
         if k >= n_seg:
             return np.zeros(ext_len, q.dtype)
@@ -145,17 +143,15 @@ def test_grouped_dispatch_matches_segmented(drop130):
         ext[s_lo - lo: s_hi - lo] = q[s_lo:s_hi]
         return ext
 
-    exts = np.stack([build_ext(k) for k in range(n_chunk * GROUP)])
-    koffs = np.asarray([min(k, n_seg) * seg_len
-                        for k in range(n_chunk * GROUP)], np.int32)
     params = eng.fused_inputs(cfg, fs)
 
-    # base: one dispatch per segment + the tuple assemble (the offline
-    # segmented loop's exact program pair)
+    # base: one dispatch per segment + the tuple assemble (the realtime
+    # stream decoder's exact program pair)
     asm_loop = segmented._assemble_program(n_seg_pad, dims, fs,
                                            float(cfg.bitrate))
-    outs_l = [seg_fn(jnp.asarray(exts[k]), dc, peak,
-                     jnp.asarray(koffs[k]), nv, pt, so, bt, ds)
+    outs_l = [seg_fn(jnp.asarray(build_ext(k)), dc, peak,
+                     jnp.asarray(min(k, n_seg) * seg_len, np.int32),
+                     nv, pt, so, bt, ds)
               for k in range(n_seg_pad)]
     out_l = asm_loop(*[tuple(o[i] for o in outs_l) for i in range(5)],
                      nv, params["trig_i"], params["trig_f"],
@@ -164,20 +160,41 @@ def test_grouped_dispatch_matches_segmented(drop130):
                      params["limits"])
     base = eng.finish_result(jax.device_get(out_l), 44100, n, fs, cfg)
 
-    vseg = jax.jit(jax.vmap(
-        seg_fn, in_axes=(0, None, None, 0, None, None, None, None, None)))
-    asm = segmented._assemble_program_chunked(dims, fs, float(cfg.bitrate))
-    outs = [vseg(jnp.asarray(exts[j*GROUP:(j+1)*GROUP]), dc, peak,
-                 jnp.asarray(koffs[j*GROUP:(j+1)*GROUP]), nv, pt, so, bt,
-                 ds) for j in range(n_chunk)]
-    out = asm(*[tuple(o[i] for o in outs) for i in range(5)],
-              nv, params["trig_i"], params["trig_f"], params["hdr_rel"],
-              params["calib_off"], params["coeff_defaults"],
-              params["temp_lut"], params["limits"])
-    res = eng.finish_result(jax.device_get(out), 44100, n, fs, cfg)
+    # the product path: grouped dispatch inside decode_waveform_segmented
+    res = segmented.decode_waveform_segmented(raw, 44100, wire="int8")
     assert res.status == base.status == 2
     assert res.metadata == base.metadata
     assert res.hexframes == base.hexframes
+
+
+def test_prestaged_decode_matches_segmented(drop130):
+    """prestage_waveform + PrestagedDrop.decode() (the public resident
+    API bench.py's resident child times) must equal the streamed-upload
+    decode, and back-to-back async dispatches must each finish to the
+    same result."""
+    pcm, truth = drop130
+    raw = np.round(pcm * 28000 / np.max(np.abs(pcm))).astype(np.int16)
+
+    base = segmented.decode_waveform_segmented(raw, 44100, wire="int8")
+    st = segmented.prestage_waveform(raw, 44100, wire="int8")
+    res = st.decode()
+    assert res.status == base.status == 2
+    assert res.metadata == base.metadata
+    assert res.hexframes == base.hexframes
+    assert res.time == base.time
+
+    outs = [st.dispatch() for _ in range(2)]  # pipelined corpus shape
+    for o in outs:
+        r = st.finish(o)
+        assert r.hexframes == base.hexframes
+
+    # the fused single-dispatch resident program (lax.map over chunks)
+    st_f = segmented.prestage_waveform(raw, 44100, wire="int8", fused=True)
+    res_f = st_f.decode()
+    assert res_f.status == 2
+    assert res_f.metadata == base.metadata
+    assert res_f.hexframes == base.hexframes
+    assert res_f.time == base.time
 
 
 def test_bucket_count():
