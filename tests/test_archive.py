@@ -23,6 +23,7 @@ def corpus(tmp_path_factory):
     return paths
 
 
+@pytest.mark.slow
 def test_reprocess_corpus(corpus, tmp_path):
     out = str(tmp_path / "out")
     manifest = reprocess_corpus(corpus, out, batch_size=2)
@@ -59,6 +60,7 @@ def test_cli_corpus_mode(corpus, tmp_path):
     assert len(os.listdir(out)) == 4  # 3 reports + manifest
 
 
+@pytest.mark.slow
 def test_cli_corpus_wire_and_diagnostics(corpus, tmp_path):
     """--corpus must honor --wire and --diagnostics: the resolved wire
     reaches dispatch_batch (recorded per file in the manifest) and the
@@ -107,6 +109,7 @@ def test_corrupt_file_quarantined(corpus, tmp_path):
         assert manifest["files"][name]["status"] == status, name
 
 
+@pytest.mark.slow
 def test_mixed_sample_rates(corpus, tmp_path):
     """Files with different fs must never share a decode batch."""
     from axctdprocessor_tpu.models import simulator as sim
@@ -152,6 +155,7 @@ def test_multihost_single_process(corpus, tmp_path):
     manifest = reprocess_corpus_multihost(corpus[:1], out, batch_size=2)
     assert list(manifest["files"].values())[0]["status"] == "done"
 
+@pytest.mark.slow
 def test_mixed_encoding_batch_not_demoted(corpus, tmp_path):
     """One float-path (stereo) or corrupt file must not demote the whole
     batch off the raw-int16 path or abort it — per-file fallback only."""

@@ -29,6 +29,7 @@ def small_batch():
     return drops
 
 
+@pytest.mark.slow
 def test_pad_batch_and_decode_dp(small_batch):
     pcms = pbatch.pad_batch([p for p, _ in small_batch])
     mesh = make_mesh({"dp": 4})
@@ -44,6 +45,7 @@ def test_pad_batch_and_decode_dp(small_batch):
             assert len(res.time) > 100
 
 
+@pytest.mark.slow
 def test_batch_matches_single_device(small_batch):
     pcm, truth = small_batch[0]
     single = decode_waveform_tpu(pcm, 44100.0)
@@ -65,6 +67,7 @@ def test_timeshard_decode(small_batch):
         assert len(res.time) > 100
 
 
+@pytest.mark.slow
 def test_timeshard_matches_single_device(small_batch):
     """SP decode must agree with the single-device fused engine on frames."""
     pcm, truth = small_batch[0]
@@ -77,6 +80,7 @@ def test_timeshard_matches_single_device(small_batch):
     assert len(a & b) / max(len(a | b), 1) > 0.95
 
 
+@pytest.mark.slow
 def test_int16_batch_matches_float(small_batch, default_drop_wav):
     """int16 batches (device conditioning) decode identically to float."""
     from scipy.io import wavfile
@@ -93,6 +97,7 @@ def test_int16_batch_matches_float(small_batch, default_drop_wav):
     assert res_raw[0].hexframes == res_raw[1].hexframes
 
 
+@pytest.mark.slow
 def test_padded_int16_batch_conditioning(default_drop_wav):
     """Zero-padding + a DC offset must not skew device conditioning:
     a padded int16 row with `lengths` decodes like the unpadded file."""
@@ -110,6 +115,7 @@ def test_padded_int16_batch_conditioning(default_drop_wav):
     np.testing.assert_array_equal(res.temperature, ref.temperature)
 
 
+@pytest.mark.slow
 def test_timeshard_int16_device_conditioning(default_drop_wav):
     """Integer batches stay int16 across H2D in SP mode; the device
     psum/pmax row statistics must match host conditioning."""
@@ -150,6 +156,7 @@ def test_timeshard_long_file():
     assert res.time[-1] - res.time[0] > 0.9 * (310.0 - 33.0)
 
 
+@pytest.mark.slow
 def test_timeshard_low_fs_crossing_capacity():
     """Duration-based crossing capacity: a 16 kHz drop must decode the
     same time-sharded as single-device (a sample-count bound alone
@@ -169,6 +176,7 @@ def test_timeshard_low_fs_crossing_capacity():
     assert len(a & b) / max(len(a | b), 1) > 0.95
 
 
+@pytest.mark.slow
 def test_pipeline_two_device_matches_batch(small_batch):
     """Front-end/back-half pipeline over two devices decodes identically
     to the single-device batched path, with the stages actually placed

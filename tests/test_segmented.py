@@ -50,6 +50,7 @@ def test_segmented_int16_device_conditioning(drop130):
     assert res_i.hexframes == res_f.hexframes
 
 
+@pytest.mark.slow
 def test_segment_program_shared_across_lengths(drop130):
     """A different file length reuses the cached segment program — no new
     stage-1 compilation, the whole point of segmenting."""
@@ -64,6 +65,7 @@ def test_segment_program_shared_across_lengths(drop130):
     assert seg_info_after.misses == seg_info_before.misses
 
 
+@pytest.mark.slow
 def test_segmented_highrate_decimation():
     """An 88.2 kHz int16 drop through the segmented path (per-segment
     device decimation) matches the monolithic decimating engine."""
@@ -97,6 +99,7 @@ def test_zero_segment_padding_is_neutral(drop130, monkeypatch):
     assert padded.time == base.time
 
 
+@pytest.mark.slow
 def test_grouped_dispatch_matches_per_segment_loop(drop130):
     """The product decode path (GROUP-segment vmapped dispatch + chunked
     assemble — what decode_waveform_segmented now ships) decodes
@@ -167,6 +170,7 @@ def test_grouped_dispatch_matches_per_segment_loop(drop130):
     assert res.hexframes == base.hexframes
 
 
+@pytest.mark.slow
 def test_prestaged_decode_matches_segmented(drop130):
     """prestage_waveform + PrestagedDrop.decode() (the public resident
     API bench.py's resident child times) must equal the streamed-upload
@@ -249,6 +253,7 @@ def test_auto_route_over_300s_matches_parity():
     assert np.median(diffs) < 0.011 and np.mean(diffs) < 0.02
 
 
+@pytest.mark.slow
 def test_segmented_highrate_no_bogus_timeout():
     """Decim2 regression: the assemble/back half must see the DECODE-rate
     valid length.  A raw-rate count doubles the apparent grid, which let

@@ -151,6 +151,7 @@ def test_tpu_stream_equals_offline_segmented(stream_drop130):
         assert r.metadata["serial_no"] == truth["serial_no"]
 
 
+@pytest.mark.slow
 def test_tpu_stream_pinned_bucket_no_midstream_compiles():
     """max_duration pins one max-bucket assemble program, compiled at
     construction: NO snapshot or finalize may miss the program cache

@@ -109,6 +109,7 @@ def test_times_monotonic_and_framed(engines):
     assert np.percentile(frac, 95) < 0.3
 
 
+@pytest.mark.slow
 def test_cli_tpu_engine(default_drop_wav, tmp_path):
     from axctdprocessor_tpu import cli
 
@@ -157,6 +158,7 @@ def test_length_bucketing_shares_compilation(default_drop_wav):
         EngineDims.for_waveform(n2, fs, 800, npcm)
 
 
+@pytest.mark.slow
 def test_tpu_engine_timerange(default_drop_wav):
     """-s/-e trimming through decode_wav_tpu (raw int16 path)."""
     from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
@@ -169,6 +171,7 @@ def test_tpu_engine_timerange(default_drop_wav):
     assert len(res.time) > 100
 
 
+@pytest.mark.slow
 def test_trigger_timeout_ignores_bucket_padding():
     """The fixed-compat hard-timeout trigger compares against the last
     *real* power window; the zero-padded bucket tail must not satisfy it
@@ -282,6 +285,7 @@ def test_trigger_timeout_truncation_boundary():
     assert int(prof) == host[2]
 
 
+@pytest.mark.slow
 def test_lowrate_16k_decode_vs_parity():
     """16 kHz is a legal rate (7.5 kHz tone under Nyquist) whose
     crossings sit ~6 samples apart — denser than a 128-lane row can
@@ -307,6 +311,7 @@ def test_lowrate_16k_decode_vs_parity():
     assert agree >= 0.98
 
 
+@pytest.mark.slow
 def test_highrate_device_decimation(tmp_path):
     """An 88.2 kHz int16 WAV decodes through the raw device path
     (conditioning + zero-phase decimation on device) and matches the

@@ -1,6 +1,7 @@
 """Unit tests for the TPU core ops (run on CPU in x64 for exactness)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from scipy import signal as sg
 
@@ -78,6 +79,7 @@ def _host_edge_chain(zc, fs, bitrate):
     return edges
 
 
+@pytest.mark.slow
 def test_bit_edge_chain_matches_host(rng):
     fs, bitrate = 44100.0, 800.0
     for trial in range(8):

@@ -105,6 +105,7 @@ def test_resolve_wire():
         wire.resolve_wire("int2", np.int16)
 
 
+@pytest.mark.slow
 def test_int8_wire_decode_matches_int16(noisy_int16):
     raw, truth = noisy_int16
     r16 = decode_waveform_tpu(raw, 44100, wire="int16")
@@ -120,6 +121,7 @@ def test_int8_wire_decode_matches_int16(noisy_int16):
     assert abs(len(r8.time) - len(r16.time)) <= 3
 
 
+@pytest.mark.slow
 def test_int8_wire_segmented(noisy_int16):
     raw, truth = noisy_int16
     r16 = segmented.decode_waveform_segmented(raw, 44100, wire="int16")
@@ -131,6 +133,7 @@ def test_int8_wire_segmented(noisy_int16):
     assert agree >= 0.995 * max(len(h16), len(h8))
 
 
+@pytest.mark.slow
 def test_int8_wire_batch(noisy_int16):
     from axctdprocessor_tpu.parallel.batch import decode_batch
 
@@ -236,6 +239,7 @@ def test_chunked_int4_encoder_matches_oneshot(rng):
         assert enc.peak == 7.0 and pk_exact == 7.0
 
 
+@pytest.mark.slow
 def test_int4_wire_decode(default_drop_wav):
     """Opt-in int4 wire on a clean drop: same metadata, ~same frames."""
     wav, truth = default_drop_wav
@@ -252,6 +256,7 @@ def test_int4_wire_decode(default_drop_wav):
     assert frame_agreement(s4.hexframes, r4.hexframes) >= 0.98
 
 
+@pytest.mark.slow
 def test_int4_wire_batch_and_pipeline(noisy_int16):
     from axctdprocessor_tpu.parallel.batch import decode_batch
     from axctdprocessor_tpu.parallel.pipeline import decode_batches_pipelined
@@ -299,6 +304,7 @@ def test_int4_wire_odd_length(default_drop_wav):
     assert res.numpoints == len(raw) - 1
 
 
+@pytest.mark.slow
 def test_wav_raw16_through_int8_wire(default_drop_wav):
     """decode_wav_tpu's raw read + explicit int8 wire preserves decode."""
     from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
