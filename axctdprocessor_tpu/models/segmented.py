@@ -488,7 +488,8 @@ def _dispatch_chunks(p: _DropPlan, chunks, kchunks):
 def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
                               dtype=jnp.float32,
                               wire: str = "auto",
-                              timer=None) -> DecodeResult:
+                              timer=None,
+                              lossy_retry: bool = True) -> DecodeResult:
     """Decode with grouped per-segment stage 1 (streamed upload, bounded
     compile, GROUP segments per dispatch).
 
@@ -538,8 +539,14 @@ def decode_waveform_segmented(pcm, fs, config: DecoderConfig | None = None,
     with timer.stage("fetch"):
         host = jax.device_get(out)  # the decode's one blocking transfer
     with timer.stage("host_finish"):
-        return eng.finish_result(host, p.fs_report, p.n, p.fs, p.cfg,
-                                 wire_used=p.w)
+        res = eng.finish_result(host, p.fs_report, p.n, p.fs, p.cfg,
+                                wire_used=p.w)
+    # degenerate int4-wire decode: one lossless retry (the noise-shaped
+    # wire's content-dependent calibration cliff — eng.lossy_retry_worthy)
+    if lossy_retry and eng.lossy_retry_worthy(res, p.n, p.fs, p.cfg):
+        return decode_waveform_segmented(pcm, fs, config=p.cfg, dtype=dtype,
+                                         wire="int8", timer=timer)
+    return res
 
 
 class PrestagedDrop:

@@ -765,6 +765,34 @@ def finish_result(out, fs_report, n: int, fs: float,
     return attach_profile(result, out, cfg, fs, profstart, live)
 
 
+def lossy_retry_worthy(res: DecodeResult, n: int, fs: float,
+                       cfg: DecoderConfig) -> bool:
+    """True when a lossy-wire (int4) decode looks DEGENERATE and is worth
+    one lossless retry.
+
+    The noise-shaped int4 wire has a content-dependent cliff: on inputs
+    whose own noise floor sits near the bit-decision threshold, a
+    particular error realization can flip the demod calibration and
+    collapse the whole decode (measured: 20/64 of the bench's noisy 60 s
+    drops decode ~30 frames instead of ~500, deterministically per row,
+    identically on CPU and TPU — scripts/diagnose_int4_row.py; the same
+    rows decode perfectly at int8 or even PLAIN-rounded int4, and the
+    encoder's error spectrum is healthy, scripts/diagnose_int4_psd.py).
+    A collapse is unmistakable: a healthy AXCTD stream yields
+    bitrate/32 = 25 frames/s of profile, a flipped calibration passes
+    ~1-5% of CRCs by chance.  Retrying those at int8 keeps "auto" both
+    fast (int4 upload for the overwhelming majority) and safe (lossless
+    for the cliff cases) — the decode analog of a checksum-verified
+    fast path."""
+    if (res.wire or "") != "int4":
+        return False
+    if res.status != 2:
+        return True  # no trigger/profile through the lossy wire: verify
+    dur = max(n / fs - max(res.firstpointtime, 0.0), 1.0)
+    expected = dur * cfg.bitrate / 32.0
+    return len(res.hexframes) < 0.25 * expected
+
+
 def trigger_scalars(r400: np.ndarray, r7500: np.ndarray, cfg: DecoderConfig,
                     fs: float, d_pcm: int, n_valid: int | None = None):
     """Host scalar logic over the 25 Hz power series: pulse detection,
@@ -826,7 +854,8 @@ def fused_inputs(cfg: DecoderConfig, fs: float, dtype=np.float32):
 
 def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
                         dtype=jnp.float32, pad_to_bucket: bool = True,
-                        mode: str = "auto", wire: str = "auto") -> DecodeResult:
+                        mode: str = "auto", wire: str = "auto",
+                        lossy_retry: bool = True) -> DecodeResult:
     """Decode a conditioned (or raw-integer) waveform with the TPU engine.
 
     The whole decode — DSP front end, trigger logic, bit calibration,
@@ -852,9 +881,15 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
     verbatim; "int8" quantizes on host to halve the upload (~48 dB SNR,
     decode-equivalent; ops.wire); "auto" picks noise-shaped int4 on real TPU hardware
     (where the link binds latency) and int16 elsewhere.
+
+    ``lossy_retry``: an int4-wire decode that comes back DEGENERATE
+    (collapsed frame yield — see :func:`lossy_retry_worthy`) is retried
+    once at the lossless-class int8 wire.  Pass False to measure the
+    pure int4 path.
     """
     cfg = config or DecoderConfig()
     pcm = np.asarray(pcm)
+    pcm0, fs0 = pcm, fs  # pre-encode originals (the lossless retry's input)
     if pcm.dtype == np.uint8:
         raise ValueError("pass unpacked integer PCM with wire='int4'; "
                          "pre-packed nibble streams lose the sample count")
@@ -863,7 +898,8 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
         if mode == "segmented" or n0 > AUTO_SEGMENT_SECONDS * float(fs):
             from .segmented import decode_waveform_segmented
 
-            return decode_waveform_segmented(pcm, fs, config=cfg, wire=wire)
+            return decode_waveform_segmented(pcm, fs, config=cfg, wire=wire,
+                                             lossy_retry=lossy_retry)
     n_raw = int(len(pcm))  # true sample count (before any wire packing)
     if np.issubdtype(pcm.dtype, np.integer):
         from ..ops import wire as wire_ops
@@ -933,7 +969,12 @@ def decode_waveform_tpu(pcm, fs, config: DecoderConfig | None = None,
                  bit_inset=cfg.bit_inset, edge_pad=100, use_pallas=use_pallas,
                  decimate2=decimate2, decim_sos=decim_sos)
     host = jax.device_get(out)  # the decode's one blocking transfer
-    return finish_result(host, fs_report, n, fs, cfg, wire_used=wire_used)
+    res = finish_result(host, fs_report, n, fs, cfg, wire_used=wire_used)
+    if lossy_retry and lossy_retry_worthy(res, n, fs, cfg):
+        return decode_waveform_tpu(pcm0, fs0, config=cfg, dtype=dtype,
+                                   pad_to_bucket=pad_to_bucket,
+                                   mode="monolithic", wire="int8")
+    return res
 
 
 def decode_wav_tpu(path: str, timerange=(0, -1), settings: dict | None = None,

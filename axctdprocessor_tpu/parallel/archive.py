@@ -28,7 +28,7 @@ from ..utils.config import resolve_settings
 from ..utils.profiling import StageTimer
 from ..utils.report import write_report
 from ..utils.wavio import read_wav
-from .batch import dispatch_batch, finish_dispatched
+from .batch import dispatch_batch, finish_dispatched, retry_lossy_rows
 
 BUCKET_SECONDS = 60  # pad each drop up to a whole minute bucket
 
@@ -216,16 +216,21 @@ def reprocess_corpus(wav_paths: list[str], out_dir: str,
             out, ctx = dispatch_batch(pcms, fs, config=cfg, mesh=mesh,
                                       lengths=lengths, wire=wire)
         if inflight is not None:
-            p_out, p_ctx, p_loaded = inflight
+            p_out, p_ctx, p_loaded, p_pcms, p_lens, p_fs = inflight
             with timer.stage("device.fetch_batch"):
                 results = finish_dispatched(p_out, p_ctx)
+                results = retry_lossy_rows(results, p_pcms, p_fs,
+                                           config=cfg, mesh=mesh,
+                                           lengths=p_lens)
             write_results(p_loaded, results)
-        inflight = (out, ctx, loaded)
+        inflight = (out, ctx, loaded, pcms, lengths, fs)
 
     if inflight is not None:
-        p_out, p_ctx, p_loaded = inflight
+        p_out, p_ctx, p_loaded, p_pcms, p_lens, p_fs = inflight
         with timer.stage("device.fetch_batch"):
             results = finish_dispatched(p_out, p_ctx)
+            results = retry_lossy_rows(results, p_pcms, p_fs, config=cfg,
+                                       mesh=mesh, lengths=p_lens)
         write_results(p_loaded, results)
 
     executor.shutdown(wait=False)

@@ -204,7 +204,8 @@ def finish_dispatched(out, ctx) -> list[DecodeResult]:
 
 def decode_batch(pcms, fs, config: DecoderConfig | None = None,
                  mesh: Mesh | None = None, dtype=jnp.float32,
-                 lengths=None, wire: str = "auto") -> list[DecodeResult]:
+                 lengths=None, wire: str = "auto",
+                 lossy_retry: bool = True) -> list[DecodeResult]:
     """Decode a (B, N) batch of waveforms; returns B results.
 
     One device dispatch + one blocking device->host transfer.  Integer
@@ -213,7 +214,45 @@ def decode_batch(pcms, fs, config: DecoderConfig | None = None,
     real samples only and the trigger grid stops at real windows.
     ``wire`` selects the integer upload format (ops.wire; "auto" = noise-shaped int4
     per-row quantization on real TPU — a 64-drop batch is upload-bound
-    just like a long single file)."""
-    return finish_dispatched(*dispatch_batch(
+    just like a long single file).  Rows whose int4-wire decode comes
+    back degenerate (the noise-shaped wire's content-dependent cliff —
+    eng.lossy_retry_worthy) are re-decoded once at int8 in one padded
+    batch dispatch (``lossy_retry=False`` measures the pure int4 path).
+    """
+    results = finish_dispatched(*dispatch_batch(
         pcms, fs, config=config, mesh=mesh, dtype=dtype, lengths=lengths,
         wire=wire))
+    if lossy_retry:
+        results = retry_lossy_rows(results, pcms, fs, config=config,
+                                   mesh=mesh, dtype=dtype, lengths=lengths)
+    return results
+
+
+def retry_lossy_rows(results: list[DecodeResult], pcms, fs,
+                     config: DecoderConfig | None = None,
+                     mesh: Mesh | None = None, dtype=jnp.float32,
+                     lengths=None) -> list[DecodeResult]:
+    """Re-decode the degenerate int4-wire rows of ``results`` at int8.
+
+    All flagged rows go in ONE batch dispatch, padded to the original
+    batch width by repeating the first flagged row (same program shape
+    as a first-class int8 decode of this batch — one cached compile,
+    no per-retry-count shapes)."""
+    cfg = config or DecoderConfig()
+    pcms = np.asarray(pcms)
+    b, n = pcms.shape
+    if lengths is None:
+        lengths = np.full(b, n, np.int32)
+    flagged = [i for i, r in enumerate(results)
+               if eng.lossy_retry_worthy(r, int(lengths[i]), float(fs), cfg)]
+    if not flagged:
+        return results
+    pad = [flagged[0]] * (b - len(flagged))
+    idx = flagged + pad
+    redo = decode_batch(pcms[idx], fs, config=cfg, mesh=mesh, dtype=dtype,
+                        lengths=np.asarray(lengths)[idx], wire="int8",
+                        lossy_retry=False)
+    out = list(results)
+    for k, i in enumerate(flagged):
+        out[i] = redo[k]
+    return out

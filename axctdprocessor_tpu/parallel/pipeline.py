@@ -43,10 +43,13 @@ def _batched_stage1(dims, fs, bitrate, bit_inset, edge_pad,
 
 def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
                              devices=None,
-                             wire: str = "auto") -> list[list[DecodeResult]]:
+                             wire: str = "auto",
+                             lossy_retry: bool = True) -> list[list[DecodeResult]]:
     """Decode an iterable of (pcms, lengths) batches through a two-device
     front-end/back-half pipeline.  Every batch must share (fs, shape).
-    Integer batches honor the ``wire`` upload format (ops.wire).
+    Integer batches honor the ``wire`` upload format (ops.wire); rows
+    whose int4-wire decode comes back degenerate are re-decoded once at
+    int8 (see batch.decode_batch).
 
     Returns one list of DecodeResults per input batch, in order.
     """
@@ -142,4 +145,35 @@ def decode_batches_pipelined(batches, fs, config: DecoderConfig | None = None,
     while inflight:
         drain(inflight.pop(0))
     stager.shutdown(wait=False)
+
+    if lossy_retry:
+        # degenerate int4-wire rows (the noise-shaped wire's content-
+        # dependent cliff — eng.lossy_retry_worthy) re-decode once at
+        # int8, grouped into full-width batch dispatches (same program
+        # shape as a first-class int8 batch decode: one cached compile)
+        from .batch import decode_batch
+
+        flagged = [(bi, ri)
+                   for bi, batch_res in enumerate(results)
+                   for ri, r in enumerate(batch_res)
+                   if eng.lossy_retry_worthy(
+                       r, int(np.asarray(batches[bi][1])[ri])
+                       if batches[bi][1] is not None
+                       else np.asarray(batches[bi][0]).shape[1],
+                       fs, cfg)]
+        b_width = np.asarray(batches[0][0]).shape[0]
+        for g in range(0, len(flagged), b_width):
+            grp = flagged[g : g + b_width]
+            idx = grp + [grp[0]] * (b_width - len(grp))
+            rows = np.stack([np.asarray(batches[bi][0])[ri]
+                             for bi, ri in idx])
+            lens = [int(np.asarray(batches[bi][1])[ri])
+                    if batches[bi][1] is not None
+                    else np.asarray(batches[bi][0]).shape[1]
+                    for bi, ri in idx]
+            redo = decode_batch(rows, fs_report, config=cfg,
+                                lengths=lens, wire="int8",
+                                lossy_retry=False)
+            for k, (bi, ri) in enumerate(grp):
+                results[bi][ri] = redo[k]
     return results

@@ -252,8 +252,11 @@ def child_resident() -> None:
     # sustained resident throughput: K back-to-back decodes with every
     # result fetched after the last dispatch, so decode i's result fetch
     # rides under decode i+1's device compute — the steady state of a
-    # corpus/archive job with resident data
-    K = 4
+    # corpus/archive job with resident data.  K=8 by on-chip depth sweep
+    # (bench_artifacts/resident_ksweep.json: 121.2/117.3/115.8/116.8 ms
+    # per drop at K=4/8/12/16 — K>=8 clears the 5000x north star with
+    # the fetch overhead fully hidden; 12+ is noise-level better)
+    K = 8
     tput = 1e9
     for _ in range(3):
         t0 = time.perf_counter()

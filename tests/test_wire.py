@@ -317,3 +317,83 @@ def test_wav_raw16_through_int8_wire(default_drop_wav):
     assert res.metadata["serial_no"] == truth["serial_no"]
     agree = sum(a == b for a, b in zip(res.hexframes, ref.hexframes))
     assert agree >= 0.995 * max(len(res.hexframes), len(ref.hexframes))
+
+
+def _cliff_rows(n_rows=3):
+    """Rows from the bench's 64-drop batch config: row 2 deterministically
+    collapses through the noise-shaped int4 wire (status 2 but ~30 frames
+    and no serial — identically on CPU and TPU, scripts/diagnose_int4_row.py)
+    while rows 0-1 decode cleanly.  The canonical lossy-retry fixture."""
+    rng = np.random.default_rng(7)
+    spec = simulator.SimSpec(duration=60.0, profile_start=40.0, seed=21)
+    pcm, truth = simulator.synthesize(spec)
+    base = np.round(pcm * 28000 / np.max(np.abs(pcm))).astype(np.int16)
+    rows = np.stack([
+        np.clip(base + rng.integers(-300, 300, len(base)), -32768, 32767)
+        .astype(np.int16)
+        for _ in range(n_rows)
+    ])
+    return rows, truth
+
+
+def test_lossy_retry_predicate():
+    """lossy_retry_worthy flags only collapsed int4-wire decodes."""
+    from axctdprocessor_tpu.models.parity_engine import DecodeResult
+    from axctdprocessor_tpu.models.tpu_engine import lossy_retry_worthy
+    from axctdprocessor_tpu.utils.config import DecoderConfig
+
+    cfg = DecoderConfig()
+    n, fs = int(60 * 44100), 44100.0
+
+    healthy = DecodeResult(fs=fs, numpoints=n, status=2, wire="int4")
+    healthy.firstpointtime = 40.0
+    healthy.hexframes = ["x"] * 460  # ~25/s over the 20 s profile
+    assert not lossy_retry_worthy(healthy, n, fs, cfg)
+
+    collapsed = DecodeResult(fs=fs, numpoints=n, status=2, wire="int4")
+    collapsed.firstpointtime = 40.0
+    collapsed.hexframes = ["x"] * 30
+    assert lossy_retry_worthy(collapsed, n, fs, cfg)
+
+    # same collapse through a lossless wire: genuine signal loss, no retry
+    collapsed_int8 = DecodeResult(fs=fs, numpoints=n, status=2, wire="int8")
+    collapsed_int8.firstpointtime = 40.0
+    collapsed_int8.hexframes = ["x"] * 30
+    assert not lossy_retry_worthy(collapsed_int8, n, fs, cfg)
+
+    # an int4 decode that never triggered is worth one lossless check
+    untriggered = DecodeResult(fs=fs, numpoints=n, status=0, wire="int4")
+    assert lossy_retry_worthy(untriggered, n, fs, cfg)
+
+
+@pytest.mark.slow
+def test_int4_cliff_row_retries_lossless():
+    """The known int4-ns cliff row decodes correctly via the auto retry."""
+    rows, truth = _cliff_rows()
+    row2 = rows[2]
+
+    bad = decode_waveform_tpu(row2, 44100, wire="int4", mode="monolithic",
+                              lossy_retry=False)
+    assert bad.metadata["serial_no"] is None  # the cliff, unretried
+    assert len(bad.hexframes) < 100
+
+    good = decode_waveform_tpu(row2, 44100, wire="int4", mode="monolithic")
+    assert good.status == 2
+    assert good.wire == "int8"  # served by the lossless retry
+    assert good.metadata["serial_no"] == truth["serial_no"]
+    assert len(good.hexframes) > 400
+
+
+@pytest.mark.slow
+def test_int4_cliff_batch_retries_only_bad_rows():
+    """decode_batch re-decodes the collapsed rows at int8, keeps the rest."""
+    from axctdprocessor_tpu.parallel.batch import decode_batch
+
+    rows, truth = _cliff_rows()
+    res = decode_batch(rows, 44100, wire="int4")
+    for r in res:
+        assert r.status == 2
+        assert r.metadata["serial_no"] == truth["serial_no"]
+        assert len(r.hexframes) > 400
+    assert res[2].wire == "int8"  # the cliff row, served by the retry
+    assert res[0].wire == "int4" and res[1].wire == "int4"
