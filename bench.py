@@ -54,9 +54,21 @@ import tempfile
 import time
 
 # persistent compilation cache: the axon remote-compile path takes
-# minutes per program; cache them across runs and subprocesses
+# minutes per program; cache them across runs and subprocesses.  The
+# env mutation feeds the CHILDREN (their interpreters start after it);
+# this parent process itself needs config.update because sitecustomize
+# imported jax before this line ran (env read at import — a setdefault
+# here is silently ignored by the current process).
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+try:
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.environ["JAX_COMPILATION_CACHE_DIR"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
 
 import numpy as np
 

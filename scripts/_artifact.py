@@ -11,6 +11,24 @@ import os
 import sys
 import time
 
+# The container's sitecustomize imports jax at interpreter start, BEFORE
+# any script body runs — so the scripts' `os.environ.setdefault(
+# "JAX_COMPILATION_CACHE_DIR", ...)` lines land after jax's config has
+# already read the env and are silently ignored (measured: corpus_1000
+# run 1 recompiled every batch program, ~1.1 h of remote compiles, and
+# wrote nothing to .jax_cache).  config.update works post-import; every
+# script imports this module first, so set it here.
+try:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/root/repo/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
+
 ART_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "bench_artifacts")
