@@ -37,6 +37,7 @@ def test_reprocess_corpus(corpus, tmp_path):
     assert "device.fetch_batch" in manifest["stage_times"]
 
 
+@pytest.mark.slow  # ~170 s: two full corpus passes; quarantine/manifest behavior stays fast-gated
 def test_resume_skips_done(corpus, tmp_path):
     out = str(tmp_path / "out2")
     reprocess_corpus(corpus[:2], out, batch_size=2)

@@ -20,7 +20,8 @@ def _drop(noise_rms, tone_amp=0.35, seed=0, duration=42.0):
 
 @pytest.mark.parametrize("noise_rms", [
     pytest.param(0.05, marks=pytest.mark.slow),  # ~120 s: worst-SNR decode
-    0.25, 0.5])
+    pytest.param(0.25, marks=pytest.mark.slow),  # ~125 s: mid-SNR; 0.5 stays in the fast gate
+    0.5])
 def test_snr_degradation_graceful(noise_rms):
     """Higher noise loses frames (CRC rejection) but never corrupts rows."""
     pcm, truth, spec = _drop(noise_rms)

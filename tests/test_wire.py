@@ -278,6 +278,7 @@ def test_int4_wire_batch_and_pipeline(noisy_int16):
         assert a.metadata == b.metadata
 
 
+@pytest.mark.slow  # ~190 s: odd-bucket padding edge; odd_length covers odd semantics in the fast set
 def test_int4_wire_odd_bucket(rng):
     """fs = 11025 makes the 15 s pad bucket odd (165375 samples): the
     packed layout must force an even padded count, not floor it."""
