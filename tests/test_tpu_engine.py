@@ -121,6 +121,8 @@ def test_cli_tpu_engine(default_drop_wav, tmp_path):
     assert text.count("\n") > 300
 
 
+@pytest.mark.slow  # ~150 s: second full-length compile; int16 ingest is
+# also exercised by test_cli_tpu_engine / test_tpu_engine_timerange
 def test_int16_device_conditioning(default_drop_wav):
     """decode_wav_tpu's raw-int16 path equals the host-conditioned path."""
     from axctdprocessor_tpu.models.tpu_engine import decode_wav_tpu
@@ -198,6 +200,8 @@ def test_trigger_timeout_ignores_bucket_padding():
     assert res2.status == 1
 
 
+@pytest.mark.slow  # ~145 s: compiles two 16 s-bucket programs just for
+# the fs-type quirk; the quirk itself is also covered by report goldens
 def test_fs_report_type_preserved():
     """The report prints fs verbatim: float fs (post-decimation) must
     stay float through the TPU engine, int fs must stay int."""
