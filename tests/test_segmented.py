@@ -56,6 +56,10 @@ def test_segment_program_shared_across_lengths(drop130):
     stage-1 compilation, the whole point of segmenting."""
     pcm, truth = drop130
     x = _conditioned(pcm)
+    # warm the (fs, geometry) program key with a decode of a DIFFERENT
+    # length first (self-contained: xdist may schedule this test onto a
+    # worker where nothing has decoded yet)
+    segmented.decode_waveform_segmented(x[: int(60 * 44100)], 44100)
     seg_info_before = segmented._segment_program_grouped.cache_info()
     res70 = segmented.decode_waveform_segmented(x[: int(70 * 44100)], 44100)
     seg_info_after = segmented._segment_program_grouped.cache_info()
